@@ -1,0 +1,206 @@
+"""Host-side batch iterators feeding the jitted train/eval steps.
+
+Design (vs reference /root/reference/fuxictr/pytorch/dataloaders/*):
+  - Fixed-shape batches: the final partial batch is padded up to
+    ``batch_size`` and a float mask column (:data:`SAMPLE_MASK_KEY`) marks
+    valid rows, so every step hits the same compiled executable.
+  - In-memory loader = vectorized ndarray slicing, no worker processes.
+  - Streaming loader = iterates sorted part files with a background
+    prefetch thread (double buffering) instead of torch DataPipes.
+"""
+
+import logging
+import queue
+import threading
+
+import numpy as np
+
+from fuxictr_tpu.data.array_dataset import (SAMPLE_MASK_KEY, expand_path,
+                                            load_columns)
+
+
+def _pad_batch(arrays, batch_size):
+    """Pad every array in the dict to ``batch_size`` rows; returns mask."""
+    n = len(next(iter(arrays.values())))
+    mask = np.ones(batch_size, dtype=np.float32)
+    if n == batch_size:
+        return arrays, mask
+    mask[n:] = 0.0
+    padded = {}
+    for k, v in arrays.items():
+        pad_width = [(0, batch_size - n)] + [(0, 0)] * (v.ndim - 1)
+        padded[k] = np.pad(v, pad_width)
+    return padded, mask
+
+
+class _BaseLoader:
+    """Common surface: len() = number of batches; iteration yields dicts."""
+
+    num_samples = 0
+    num_blocks = 1
+    num_batches = 0
+
+    def __len__(self):
+        return self.num_batches
+
+
+class InMemoryDataLoader(_BaseLoader):
+    """Whole-split-in-RAM loader with per-epoch vectorized shuffling."""
+
+    def __init__(self, feature_map, data_path, split="train", batch_size=32,
+                 shuffle=False, seed=2019, **kwargs):
+        self.feature_map = feature_map
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+        parts = expand_path(data_path)
+        cols = [load_columns(feature_map, p) for p in parts]
+        if len(cols) == 1:
+            self.columns = cols[0]
+        else:
+            self.columns = {k: np.concatenate([c[k] for c in cols])
+                            for k in cols[0]}
+        self.num_samples = len(next(iter(self.columns.values())))
+        self.num_blocks = 1
+        self.num_batches = int(np.ceil(self.num_samples / batch_size))
+
+    def __iter__(self):
+        order = np.arange(self.num_samples)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, self.num_samples, bs):
+            idx = order[start:start + bs]
+            batch = {k: v[idx] for k, v in self.columns.items()}
+            batch, mask = _pad_batch(batch, bs)
+            batch[SAMPLE_MASK_KEY] = mask
+            yield batch
+
+
+class BlockStreamingDataLoader(_BaseLoader):
+    """Streams part files; shuffles within a buffer; prefetches next block.
+
+    Capability-parity with the reference's Parquet/NpzBlockDataLoader
+    (per-worker block sharding generalizes here to per-host sharding via
+    ``host_id``/``num_hosts`` for multi-host input pipelines).
+    """
+
+    def __init__(self, feature_map, data_path, split="train", batch_size=32,
+                 shuffle=False, seed=2019, buffer_size=100000,
+                 host_id=0, num_hosts=1, **kwargs):
+        self.feature_map = feature_map
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.buffer_size = max(buffer_size, batch_size)
+        self._epoch = 0
+        parts = expand_path(data_path)
+        self.parts = [p for i, p in enumerate(parts)
+                      if i % num_hosts == host_id]
+        if not self.parts:
+            raise ValueError(f"no data parts found at {data_path}")
+        self.num_blocks = len(self.parts)
+        self.num_samples = 0
+        for p in self.parts:
+            self.num_samples += self._count_rows(p)
+        self.num_batches = int(np.ceil(self.num_samples / batch_size))
+
+    @staticmethod
+    def _count_rows(path):
+        if path.endswith(".npz"):
+            with np.load(path, allow_pickle=True) as d:
+                return len(d[d.files[0]])
+        import pyarrow.parquet as pq
+        return pq.ParquetFile(path).metadata.num_rows
+
+    def _block_iter(self, rng):
+        parts = list(self.parts)
+        if self.shuffle and rng is not None:
+            rng.shuffle(parts)
+        q = queue.Queue(maxsize=2)
+
+        def produce():
+            for p in parts:
+                q.put(load_columns(self.feature_map, p))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            block = q.get()
+            if block is None:
+                return
+            yield block
+
+    def __iter__(self):
+        rng = None
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            self._epoch += 1
+        bs = self.batch_size
+        pending = None  # ragged tail rows carried between blocks
+        for block in self._block_iter(rng):
+            if pending is not None:
+                block = {k: np.concatenate([pending[k], block[k]])
+                         for k in block}
+            n = len(next(iter(block.values())))
+            order = np.arange(n)
+            if rng is not None:
+                rng.shuffle(order)
+            full = (n // bs) * bs
+            for start in range(0, full, bs):
+                idx = order[start:start + bs]
+                batch = {k: v[idx] for k, v in block.items()}
+                batch[SAMPLE_MASK_KEY] = np.ones(bs, dtype=np.float32)
+                yield batch
+            if full < n:
+                tail = order[full:]
+                pending = {k: v[tail] for k, v in block.items()}
+            else:
+                pending = None
+        if pending is not None:
+            batch, mask = _pad_batch(pending, bs)
+            batch[SAMPLE_MASK_KEY] = mask
+            yield batch
+
+
+class RankDataLoader:
+    """Facade selecting the loader by format × streaming, mirroring the
+    reference API (rank_dataloader.py:25-101): ``make_iterator()`` returns
+    (train, valid) / test / (train, valid, test) depending on ``stage``."""
+
+    def __init__(self, feature_map, stage="both", train_data=None,
+                 valid_data=None, test_data=None, batch_size=32, shuffle=True,
+                 streaming=False, data_format="npz", **kwargs):
+        logging.info("Loading datasets...")
+        loader_cls = kwargs.pop("data_loader", None)
+        if loader_cls is None:
+            loader_cls = BlockStreamingDataLoader if streaming else InMemoryDataLoader
+        train_gen = valid_gen = test_gen = None
+        self.stage = stage
+        if stage in ("both", "train"):
+            train_gen = loader_cls(feature_map, train_data, split="train",
+                                   batch_size=batch_size, shuffle=shuffle, **kwargs)
+            logging.info("Train samples: total/%d, blocks/%d",
+                         train_gen.num_samples, train_gen.num_blocks)
+            if valid_data:
+                valid_gen = loader_cls(feature_map, valid_data, split="valid",
+                                       batch_size=batch_size, shuffle=False, **kwargs)
+                logging.info("Validation samples: total/%d, blocks/%d",
+                             valid_gen.num_samples, valid_gen.num_blocks)
+        if stage in ("both", "test") and test_data:
+            test_gen = loader_cls(feature_map, test_data, split="test",
+                                  batch_size=batch_size, shuffle=False, **kwargs)
+            logging.info("Test samples: total/%d, blocks/%d",
+                         test_gen.num_samples, test_gen.num_blocks)
+        self.train_gen, self.valid_gen, self.test_gen = train_gen, valid_gen, test_gen
+
+    def make_iterator(self):
+        if self.stage == "train":
+            return self.train_gen, self.valid_gen
+        if self.stage == "test":
+            return self.test_gen
+        return self.train_gen, self.valid_gen, self.test_gen

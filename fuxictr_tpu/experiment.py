@@ -1,0 +1,67 @@
+"""End-to-end experiment driver.
+
+Equivalent of the reference's uniform run_expid flow
+(model_zoo/*/run_expid.py:37-87): load config → (build dataset if csv) →
+FeatureMap → model → fit → evaluate valid/test → append result CSV row.
+"""
+
+import gc
+import logging
+import os
+from datetime import datetime
+
+from fuxictr_tpu.config import (load_config, print_to_json, print_to_list,
+                                set_logger)
+from fuxictr_tpu.data import RankDataLoader
+from fuxictr_tpu.features import FeatureMap
+from fuxictr_tpu.models import get_model, seed_everything
+
+
+def run_expid(config_dir, experiment_id, result_file=None, params=None):
+    """Run one experiment; returns {'valid': logs, 'test': logs}."""
+    if params is None:
+        params = load_config(config_dir, experiment_id)
+    set_logger(params)
+    logging.info("Params: " + print_to_json(params))
+    seed_everything(params.get("seed", 2019))
+
+    data_dir = os.path.join(params["data_root"], params["dataset_id"])
+    feature_map_json = os.path.join(data_dir, "feature_map.json")
+    if params.get("data_format") == "csv":
+        from fuxictr_tpu.preprocess import FeatureProcessor, build_dataset
+        fp = FeatureProcessor(**params)
+        params["train_data"], params["valid_data"], params["test_data"] = \
+            build_dataset(fp, **params)
+    feature_map = FeatureMap(params["dataset_id"], data_dir)
+    feature_map.load(feature_map_json, params)
+    logging.info("Feature specs: " + print_to_json(feature_map.features))
+
+    model_cls = get_model(params["model"])
+    model = model_cls(feature_map, **params)
+
+    train_gen, valid_gen = RankDataLoader(
+        feature_map, stage="train", **params).make_iterator()
+    model.fit(train_gen, validation_data=valid_gen,
+              epochs=params.get("epochs", 1))
+
+    logging.info("****** Validation evaluation ******")
+    valid_result = model.evaluate(valid_gen)
+
+    test_result = {}
+    if params.get("test_data"):
+        logging.info("******** Test evaluation ********")
+        test_gen = RankDataLoader(
+            feature_map, stage="test", **params).make_iterator()
+        test_result = model.evaluate(test_gen)
+
+    if result_file:
+        with open(result_file, "a+") as fd:
+            fd.write(
+                " {},[command] python run_expid.py,[exp_id] {},[dataset_id] {}"
+                ",[train] N.A.,[val] {},[test] {}\n".format(
+                    datetime.now().strftime("%Y%m%d-%H%M%S"),
+                    experiment_id, params["dataset_id"],
+                    print_to_list(valid_result), print_to_list(test_result)))
+    del train_gen, valid_gen
+    gc.collect()
+    return {"valid": valid_result, "test": test_result, "model": model}

@@ -1,0 +1,424 @@
+"""Training runtime: functional TrainState + jitted train/eval steps.
+
+Behavioral parity with the reference BaseModel
+(/root/reference/fuxictr/pytorch/models/rank_model.py:31-470): fit →
+train_epoch → train_step, eval every ``eval_steps``, weighted-Monitor early
+stop (patience, min_delta 1e-6), reduce-LR-on-plateau (×0.1, floor 1e-6),
+best-only weight checkpointing, split embedding/net p-norm regularization,
+global-norm grad clipping (default max 10).
+
+TPU-native differences:
+  - one compiled ``train_step`` (forward+loss+reg+clip+update) with donated
+    state; losses stay on device until the logging boundary.
+  - the loss is computed on logits (stable fused sigmoid-BCE) and weighted by
+    the batch validity mask so padded fixed-shape batches are exact.
+  - LR plateau decay mutates the optax ``inject_hyperparams`` leaf — no
+    retrace.
+  - checkpoints carry the full train state (params + opt state + step) so
+    mid-run resume works (the reference saves weights only).
+"""
+
+import logging
+import os
+import pickle
+from functools import partial
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fuxictr_tpu.config import Monitor
+from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
+from fuxictr_tpu.metrics import evaluate_metrics
+from fuxictr_tpu.ops.common import get_regularizer
+
+
+def seed_everything(seed=2019):
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    model_state: dict      # batch_stats etc.
+    opt_state: optax.OptState
+
+
+def _is_embedding_path(path):
+    """True for params owned by an embedding front-end module (the split the
+    reference draws at FeatureEmbeddingDict for regularizer scoping)."""
+    return any(str(p).startswith(("embedding", "FeatureEmbedding", "Embedding"))
+               for p in path)
+
+
+def make_loss_fn(loss):
+    """Map config loss names to logit-space losses."""
+    if callable(loss):
+        return loss
+    name = str(loss).lower()
+    if name in ("bce", "binary_crossentropy", "binary_cross_entropy"):
+        return lambda logits, y: optax.sigmoid_binary_cross_entropy(logits, y)
+    if name in ("mse", "mean_squared_error"):
+        return lambda pred, y: (pred - y) ** 2
+    if name in ("mae", "l1"):
+        return lambda pred, y: jnp.abs(pred - y)
+    raise NotImplementedError(f"loss={loss} is not supported.")
+
+
+def make_optimizer(name, lr, max_gradient_norm=10.0):
+    """optax chain: global-norm clip → injected-LR optimizer (mutable LR)."""
+    name = str(name).lower()
+    opts = {
+        "adam": optax.adam,
+        "adamw": optax.adamw,
+        "sgd": optax.sgd,
+        "adagrad": optax.adagrad,
+        "rmsprop": optax.rmsprop,
+        "ftrl": getattr(optax, "ftrl", optax.adagrad),
+    }
+    if name not in opts:
+        raise NotImplementedError(f"optimizer={name} is not supported.")
+    return optax.chain(
+        optax.clip_by_global_norm(max_gradient_norm),
+        optax.inject_hyperparams(opts[name])(learning_rate=lr))
+
+
+class RankModel:
+    """Host-side driver around a flax net returning {"y_pred": logits, ...}."""
+
+    def __init__(self,
+                 feature_map,
+                 net=None,
+                 model_id="RankModel",
+                 task="binary_classification",
+                 gpu=-1,                      # accepted for config parity
+                 monitor="AUC",
+                 save_best_only=True,
+                 monitor_mode="max",
+                 early_stop_patience=2,
+                 eval_steps=None,
+                 embedding_regularizer=None,
+                 net_regularizer=None,
+                 reduce_lr_on_plateau=True,
+                 **kwargs):
+        self.feature_map = feature_map
+        self.net = net
+        self.model_id = model_id
+        self.task = task
+        self._monitor = Monitor(kv=monitor)
+        self._monitor_mode = monitor_mode
+        self._early_stop_patience = early_stop_patience
+        self._eval_steps = eval_steps
+        self._save_best_only = save_best_only
+        self._emb_reg = get_regularizer(embedding_regularizer)
+        self._net_reg = get_regularizer(net_regularizer)
+        self._reduce_lr_on_plateau = reduce_lr_on_plateau
+        self._verbose = kwargs.get("verbose", 1)
+        self.validation_metrics = kwargs.get("metrics", ["AUC"])
+        self.model_dir = os.path.join(kwargs.get("model_root", "./checkpoints"),
+                                      feature_map.dataset_id)
+        self.checkpoint = os.path.abspath(
+            os.path.join(self.model_dir, self.model_id + ".model"))
+        self.kwargs = kwargs
+        self._optimizer_name = kwargs.get("optimizer", "adam")
+        self._loss_name = kwargs.get("loss", "binary_crossentropy")
+        self._learning_rate = kwargs.get("learning_rate", 1e-3)
+        self.state = None
+        self._rng = seed_everything(kwargs.get("seed", 2019))
+        self._jit_train_step = None
+        self._jit_predict_step = None
+
+    # --------------------------------------------------------------- setup
+    def compile(self, optimizer=None, loss=None, lr=None):
+        if optimizer is not None:
+            self._optimizer_name = optimizer
+        if loss is not None:
+            self._loss_name = loss
+        if lr is not None:
+            self._learning_rate = lr
+
+    def _example_batch(self, batch_size=2):
+        """Synth a minimal batch for parameter init (static shapes only)."""
+        batch = {}
+        for name, spec in self.feature_map.features.items():
+            t = spec["type"]
+            if t == "meta":
+                batch[name] = np.zeros((batch_size,), np.int32)
+            elif t == "sequence":
+                batch[name] = np.zeros((batch_size, spec["max_len"]), np.int32)
+            elif t == "numeric":
+                batch[name] = np.zeros((batch_size,), np.float32)
+            elif t == "embedding":
+                batch[name] = np.zeros(
+                    (batch_size, spec.get("pretrain_dim", 1)), np.float32)
+            else:
+                batch[name] = np.zeros((batch_size,), np.int32)
+        for label in self.feature_map.labels:
+            batch[label] = np.zeros((batch_size,), np.float32)
+        batch[SAMPLE_MASK_KEY] = np.ones((batch_size,), np.float32)
+        return batch
+
+    def init_params(self):
+        if self.state is not None:
+            return
+        self._rng, init_rng = jax.random.split(self._rng)
+        variables = self.net.init(
+            {"params": init_rng, "dropout": init_rng},
+            self._example_batch(), train=False)
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        self._build_state(params, model_state)
+        self.count_parameters()
+
+    def _build_state(self, params, model_state,
+                     max_gradient_norm=10.0):
+        self._tx = make_optimizer(self._optimizer_name, self._learning_rate,
+                                  max_gradient_norm)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            model_state=model_state, opt_state=self._tx.init(params))
+
+    # ------------------------------------------------------------- lossref
+    def get_labels(self, batch):
+        return batch[self.feature_map.labels[0]].reshape(-1, 1)
+
+    def regularization_loss(self, params):
+        if not self._emb_reg and not self._net_reg:
+            return 0.0
+        reg = 0.0
+        flat = flax.traverse_util.flatten_dict(params)
+        for path, leaf in flat.items():
+            pairs = self._emb_reg if _is_embedding_path(path) else self._net_reg
+            for p, lam in pairs:
+                reg = reg + (lam / p) * jnp.sum(jnp.abs(leaf) ** p)
+        return reg
+
+    def add_loss(self, outputs, y_true, weights):
+        loss_fn = make_loss_fn(self._loss_name)
+        per_example = loss_fn(outputs["y_pred"], y_true)
+        w = weights.reshape(-1, 1)
+        loss = jnp.sum(per_example * w) / jnp.maximum(jnp.sum(w), 1.0)
+        if "aux_loss" in outputs:
+            loss = loss + outputs["aux_loss"]
+        return loss
+
+    # --------------------------------------------------------------- steps
+    def _make_train_step(self):
+        net = self.net
+        tx = self._tx
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, batch, rng):
+            y_true = batch[self.feature_map.labels[0]].reshape(-1, 1)
+            weights = batch[SAMPLE_MASK_KEY]
+
+            def loss_fn(params):
+                outputs, new_ms = net.apply(
+                    {"params": params, **state.model_state}, batch,
+                    train=True, rngs={"dropout": rng},
+                    mutable=list(state.model_state.keys()) or ["batch_stats"])
+                loss = self.add_loss(outputs, y_true, weights)
+                loss = loss + self.regularization_loss(params)
+                return loss, new_ms
+
+            (loss, new_ms), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params,
+                model_state=new_ms if new_ms else state.model_state,
+                opt_state=new_opt)
+            return new_state, loss
+
+        return train_step
+
+    def _make_predict_step(self):
+        net = self.net
+        act = (jax.nn.sigmoid if self.task == "binary_classification"
+               else (lambda x: x))
+
+        @jax.jit
+        def predict_step(state, batch):
+            outputs = net.apply({"params": state.params, **state.model_state},
+                                batch, train=False)
+            return act(outputs["y_pred"])
+
+        return predict_step
+
+    # ----------------------------------------------------------------- fit
+    def fit(self, data_generator, epochs=1, validation_data=None,
+            max_gradient_norm=10.0, **kwargs):
+        self.valid_gen = validation_data
+        if self.state is None:
+            self.init_params()
+        # rebuild optimizer if a non-default clip norm is requested
+        self._build_state(self.state.params, self.state.model_state,
+                          max_gradient_norm)
+        self._jit_train_step = self._make_train_step()
+        self._best_metric = (np.inf if self._monitor_mode == "min"
+                             else -np.inf)
+        self._stopping_steps = 0
+        self._stop_training = False
+        self._steps_per_epoch = len(data_generator)
+        self._total_steps = 0
+        self._batch_index = 0
+        self._epoch_index = 0
+        if self._eval_steps is None:
+            self._eval_steps = self._steps_per_epoch
+        logging.info("Start training: %d batches/epoch", self._steps_per_epoch)
+        logging.info("************ Epoch=1 start ************")
+        for epoch in range(epochs):
+            self._epoch_index = epoch
+            self.train_epoch(data_generator)
+            if self._stop_training:
+                break
+            logging.info("************ Epoch=%d end ************", epoch + 1)
+        logging.info("Training finished.")
+        if os.path.exists(self.checkpoint):
+            logging.info("Load best model: %s", self.checkpoint)
+            self.load_weights(self.checkpoint)
+
+    def train_epoch(self, data_generator):
+        self._batch_index = 0
+        pending_losses = []
+        for batch_index, batch in enumerate(data_generator):
+            self._batch_index = batch_index
+            self._total_steps += 1
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, loss = self._jit_train_step(self.state, batch, step_rng)
+            pending_losses.append(loss)
+            if self._total_steps % self._eval_steps == 0:
+                train_loss = float(np.mean(jax.device_get(pending_losses)))
+                pending_losses = []
+                logging.info("Train loss: %.6f", train_loss)
+                self.eval_step()
+            if self._stop_training:
+                break
+
+    def eval_step(self):
+        logging.info("Evaluation @epoch %d - batch %d:",
+                     self._epoch_index + 1, self._batch_index + 1)
+        val_logs = self.evaluate(self.valid_gen,
+                                 metrics=self._monitor.get_metrics())
+        self.checkpoint_and_earlystop(val_logs)
+
+    def checkpoint_and_earlystop(self, logs, min_delta=1e-6):
+        monitor_value = self._monitor.get_value(logs)
+        if (self._monitor_mode == "min"
+                and monitor_value > self._best_metric - min_delta) or \
+           (self._monitor_mode == "max"
+                and monitor_value < self._best_metric + min_delta):
+            self._stopping_steps += 1
+            logging.info("Monitor(%s)=%.6f STOP!",
+                         self._monitor_mode, monitor_value)
+            if self._reduce_lr_on_plateau:
+                lr = self.lr_decay()
+                logging.info("Reduce learning rate on plateau: %.6f", lr)
+        else:
+            self._stopping_steps = 0
+            self._best_metric = monitor_value
+            if self._save_best_only:
+                logging.info("Save best model: monitor(%s)=%.6f",
+                             self._monitor_mode, monitor_value)
+                self.save_weights(self.checkpoint)
+        if self._stopping_steps >= self._early_stop_patience:
+            self._stop_training = True
+            logging.info("********* Epoch=%d early stop *********",
+                         self._epoch_index + 1)
+        if not self._save_best_only:
+            self.save_weights(self.checkpoint)
+
+    def lr_decay(self, factor=0.1, min_lr=1e-6):
+        """Scale the injected optimizer LR in-place (no retrace)."""
+        opt_state = self.state.opt_state
+        inner = opt_state[1]
+        new_lr = float(inner.hyperparams["learning_rate"]) * factor
+        new_lr = max(new_lr, min_lr)
+        inner.hyperparams["learning_rate"] = jnp.asarray(
+            new_lr, dtype=jnp.asarray(inner.hyperparams["learning_rate"]).dtype)
+        self.state = self.state.replace(opt_state=opt_state)
+        return new_lr
+
+    # ---------------------------------------------------------- eval/infer
+    def _predictions(self, data_generator):
+        if self._jit_predict_step is None:
+            self._jit_predict_step = self._make_predict_step()
+        if self.state is None:
+            self.init_params()
+        preds, masks, groups = [], [], []
+        for batch in data_generator:
+            y = self._jit_predict_step(self.state, batch)
+            preds.append(np.asarray(y).reshape(len(batch[SAMPLE_MASK_KEY]), -1))
+            masks.append(batch[SAMPLE_MASK_KEY] > 0)
+            if self.feature_map.group_id is not None:
+                groups.append(batch[self.feature_map.group_id])
+        mask = np.concatenate(masks)
+        y_pred = np.concatenate(preds)[mask]
+        group_id = np.concatenate(groups)[mask] if groups else None
+        return y_pred, mask, group_id
+
+    def evaluate(self, data_generator, metrics=None):
+        y_pred_parts, y_true_parts, masks, groups = [], [], [], []
+        if self._jit_predict_step is None:
+            self._jit_predict_step = self._make_predict_step()
+        for batch in data_generator:
+            y = self._jit_predict_step(self.state, batch)
+            m = batch[SAMPLE_MASK_KEY] > 0
+            y_pred_parts.append(np.asarray(y).reshape(len(m), -1)[m])
+            y_true_parts.append(
+                np.asarray(self.get_labels(batch)).reshape(len(m), -1)[m])
+            if self.feature_map.group_id is not None:
+                groups.append(np.asarray(batch[self.feature_map.group_id])[m])
+        y_pred = np.concatenate(y_pred_parts).reshape(-1).astype(np.float64)
+        y_true = np.concatenate(y_true_parts).reshape(-1).astype(np.float64)
+        group_id = np.concatenate(groups) if groups else None
+        val_logs = evaluate_metrics(
+            y_true, y_pred, metrics or self.validation_metrics, group_id)
+        logging.info("[Metrics] " + " - ".join(
+            f"{k}: {v:.6f}" for k, v in val_logs.items()))
+        return val_logs
+
+    def predict(self, data_generator):
+        y_pred, _, _ = self._predictions(data_generator)
+        return y_pred.reshape(-1).astype(np.float64)
+
+    # ------------------------------------------------------------ weights
+    def save_weights(self, checkpoint):
+        os.makedirs(os.path.dirname(checkpoint), exist_ok=True)
+        payload = {"params": jax.device_get(self.state.params),
+                   "model_state": jax.device_get(self.state.model_state)}
+        with open(checkpoint, "wb") as fd:
+            fd.write(flax.serialization.to_bytes(payload))
+
+    def load_weights(self, checkpoint):
+        with open(checkpoint, "rb") as fd:
+            payload = flax.serialization.from_bytes(
+                {"params": jax.device_get(self.state.params),
+                 "model_state": jax.device_get(self.state.model_state)},
+                fd.read())
+        self.state = self.state.replace(
+            params=payload["params"], model_state=payload["model_state"])
+
+    def save_checkpoint(self, path):
+        """Full train state (params + opt + step) for mid-run resume."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as fd:
+            pickle.dump(jax.device_get(self.state), fd)
+
+    def load_checkpoint(self, path):
+        with open(path, "rb") as fd:
+            self.state = pickle.load(fd)
+
+    def count_parameters(self, count_embedding=True):
+        total = 0
+        flat = flax.traverse_util.flatten_dict(self.state.params)
+        for path, leaf in flat.items():
+            if not count_embedding and _is_embedding_path(path):
+                continue
+            total += leaf.size
+        logging.info("Total number of parameters: %d.", total)
+        return total

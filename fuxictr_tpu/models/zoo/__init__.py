@@ -1,0 +1,7 @@
+"""Model zoo. Importing this package registers every model class."""
+
+from fuxictr_tpu.models.zoo import ranking  # noqa: F401
+
+from fuxictr_tpu.models.registry import MODEL_REGISTRY  # noqa: F401
+
+globals().update(MODEL_REGISTRY)

@@ -1,0 +1,358 @@
+"""Fused feature embeddings.
+
+The reference keeps one ``nn.Embedding`` per field and loops over a dict
+(/root/reference/fuxictr/pytorch/layers/embeddings/feature_embedding.py:91-297).
+On TPU that would issue one small gather per field — poor HBM utilisation and
+a long dispatch chain. Here all categorical/sequence vocabularies that share
+an embedding dim are concatenated into ONE ``[total_rows, dim]`` table with
+per-field row offsets (the schema already carries ``total_features``), so a
+batch lookup is a single large gather that XLA can vectorise and — with a
+``NamedSharding`` over the rows — shard across the ``model`` mesh axis.
+
+Semantics preserved from the reference:
+  - ``share_embedding`` fields alias the owner field's rows.
+  - ``padding_idx`` rows read as zeros and receive no gradient (output mask).
+  - numeric fields are a per-field dim-d weight vector (Linear(1, d)).
+  - ``embedding``-type fields pass through with a Dense projection.
+  - per-field ``feature_encoder`` strings are parsed by an explicit registry
+    (never ``eval``).
+  - pretrained embeddings (init/sum/concat usage, freeze) via own-table path.
+"""
+
+import os
+import re
+from collections import OrderedDict
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fuxictr_tpu.config import not_in_whitelist
+from fuxictr_tpu.ops.common import get_initializer, xavier_normal
+from fuxictr_tpu.ops.pooling import masked_average_pool, masked_sum_pool
+
+
+# ------------------------------------------------------------------ layout
+class EmbeddingLayout:
+    """Static (host-side) description of the fused-table packing."""
+
+    def __init__(self, feature_map, embedding_dim, required=None,
+                 not_required=None, use_pretrain=True, use_sharing=True,
+                 force_dim=None):
+        self.feature_map = feature_map
+        self.fields = OrderedDict()   # name -> field plan
+        self.tables = {}              # dim -> {"rows": int}
+        self.numeric = {}             # dim -> [field names]
+        vocab_offset = {}             # dim -> running row count
+
+        for name, spec in feature_map.features.items():
+            ftype = spec["type"]
+            if ftype == "meta":
+                continue
+            if required and name not in required:
+                continue
+            if not_required and name in not_required:
+                continue
+            dim = force_dim or spec.get("embedding_dim", embedding_dim)
+            plan = {"type": ftype, "dim": dim, "spec": spec}
+            if ftype == "numeric":
+                plan["numeric_index"] = len(self.numeric.setdefault(dim, []))
+                self.numeric[dim].append(name)
+            elif ftype in ("categorical", "sequence"):
+                if use_pretrain and "pretrained_emb" in spec:
+                    plan["pretrained"] = True   # own-table path
+                else:
+                    owner = spec.get("share_embedding") if use_sharing else None
+                    if owner and owner in self.fields \
+                            and "offset" in self.fields[owner]:
+                        plan["offset"] = self.fields[owner]["offset"]
+                    else:
+                        off = vocab_offset.setdefault(dim, 0)
+                        plan["offset"] = off
+                        vocab_offset[dim] = off + spec["vocab_size"]
+                plan["padding_idx"] = spec.get("padding_idx", -1)
+                if plan["padding_idx"] is None:
+                    plan["padding_idx"] = -1
+            elif ftype == "embedding":
+                plan["pretrain_dim"] = spec.get("pretrain_dim", dim)
+            self.fields[name] = plan
+        for dim, rows in vocab_offset.items():
+            self.tables[dim] = {"rows": rows}
+
+    def gather_groups(self):
+        """Group fused-table scalar (categorical) fields per dim for one
+        stacked [B, F] gather; sequence fields are gathered per-field."""
+        groups = {}
+        for name, plan in self.fields.items():
+            if plan["type"] == "categorical" and "offset" in plan:
+                groups.setdefault(plan["dim"], []).append(name)
+        return groups
+
+
+# ------------------------------------------------------ encoder mini-parser
+_ENCODER_RE = re.compile(
+    r"^(?:layers\.)?(MaskedAveragePooling|MaskedSumPooling)\(\)$")
+_LINEAR_RE = re.compile(
+    r"^nn\.Linear\((\d+),\s*(\d+)(?:,\s*bias=(True|False))?\)$")
+
+
+def parse_feature_encoder(enc):
+    """Parse a feature_encoder config string into a descriptor list."""
+    if enc is None:
+        return []
+    encs = enc if isinstance(enc, list) else [enc]
+    out = []
+    for e in encs:
+        m = _ENCODER_RE.match(e.strip())
+        if m:
+            out.append(("pool", "average" if "Average" in m.group(1) else "sum"))
+            continue
+        m = _LINEAR_RE.match(e.strip())
+        if m:
+            out.append(("linear", int(m.group(2)), m.group(3) != "False"))
+            continue
+        raise ValueError(f"feature_encoder={e} is not supported.")
+    return out
+
+
+# ----------------------------------------------------------- pretrained io
+def load_pretrain_emb(path, keys=("key", "value")):
+    """Load a pretrained embedding {id: vector} pair from npz/parquet/h5."""
+    if path.endswith(".h5"):
+        import h5py
+        with h5py.File(path, "r") as hf:
+            return np.array(hf[keys[0]]), np.array(hf[keys[1]])
+    if path.endswith(".npz"):
+        d = np.load(path, allow_pickle=True)
+        return d[keys[0]], d[keys[1]]
+    import pandas as pd
+    df = pd.read_parquet(path)
+    return df[keys[0]].to_numpy(), np.array(df[keys[1]].to_list())
+
+
+# ----------------------------------------------------------------- module
+class FeatureEmbedding(nn.Module):
+    """Unified embedding front-end: batch dict → dict / [B, F, D] / [B, F*D]."""
+
+    feature_map: Any
+    embedding_dim: int
+    embedding_initializer: str = "normal(std=1e-4)"
+    required_feature_columns: Sequence[str] = None
+    not_required_feature_columns: Sequence[str] = None
+    use_pretrain: bool = True
+    use_sharing: bool = True
+    force_dim: int = None          # e.g. 1 for LogisticRegression weights
+    pool_sequences: str = None     # "sum"/"average": pool all sequence fields
+
+    def setup(self):
+        self.layout = EmbeddingLayout(
+            self.feature_map, self.embedding_dim,
+            required=self.required_feature_columns,
+            not_required=self.not_required_feature_columns,
+            use_pretrain=self.use_pretrain, use_sharing=self.use_sharing,
+            force_dim=self.force_dim)
+        init = get_initializer(self.embedding_initializer)
+        tables = {}
+        for dim, info in self.layout.tables.items():
+            tables[dim] = self.param(f"table_d{dim}", init, (info["rows"], dim))
+        self.tables = tables
+        numeric_ws = {}
+        for dim, names in self.layout.numeric.items():
+            # per-field Linear(1, dim) weights, xavier-normal over fan (1, dim)
+            std = float(np.sqrt(2.0 / (1 + dim)))
+            numeric_ws[dim] = self.param(
+                f"numeric_d{dim}", jax.nn.initializers.normal(stddev=std),
+                (len(names), dim))
+        self.numeric_ws = numeric_ws
+
+        encoders = {}
+        projections = {}
+        pretrained = {}
+        for name, plan in self.layout.fields.items():
+            spec = plan["spec"]
+            descs = parse_feature_encoder(spec.get("feature_encoder"))
+            if descs:
+                mods = []
+                for i, d in enumerate(descs):
+                    if d[0] == "linear":
+                        mods.append((d[0], nn.Dense(
+                            d[1], use_bias=d[2], kernel_init=xavier_normal(),
+                            name=f"enc_{name}_{i}")))
+                    else:
+                        mods.append(d)
+                encoders[name] = mods
+            elif plan["type"] == "embedding":
+                projections[name] = nn.Dense(
+                    plan["dim"], use_bias=False, kernel_init=xavier_normal(),
+                    name=f"proj_{name}")
+            if plan.get("pretrained"):
+                pretrained[name] = self._make_pretrained(name, plan, init)
+        self.encoders = encoders
+        self.projections = projections
+        self.pretrained = pretrained
+
+    def _make_pretrained(self, name, plan, default_init):
+        """Own-table path for a field with pretrained vectors.
+
+        Returns (table_param, frozen, usage, proj?) — cf. reference
+        pretrained_embedding.py:30-189 (init/sum/concat usage, freeze).
+        """
+        spec = plan["spec"]
+        usage = spec.get("pretrain_usage", "init")
+        freeze = spec.get("freeze_emb", False)
+        dim = plan["dim"]
+        pretrain_dim = spec.get("pretrain_dim", dim)
+        path = os.path.join(self.feature_map.data_dir, spec["pretrained_emb"])
+        vocab_size = spec["vocab_size"]
+        oov_idx = spec.get("oov_idx", vocab_size - 1)
+
+        def pretrained_init(key, shape):
+            keys, values = load_pretrain_emb(path)
+            table = np.zeros(shape, dtype=np.float32)
+            if usage == "init":
+                base = np.asarray(
+                    default_init(key, shape, jnp.float32))
+                table[:] = base
+            idx = np.asarray(keys).astype(np.int64)
+            ok = (idx >= 0) & (idx < vocab_size)
+            table[idx[ok]] = np.asarray(values)[ok]
+            return jnp.asarray(table)
+
+        entry = {"usage": usage, "freeze": freeze, "oov_idx": oov_idx,
+                 "padding_idx": plan["padding_idx"]}
+        entry["pre_table"] = self.param(
+            f"pretrain_{name}", pretrained_init, (vocab_size, pretrain_dim))
+        if usage in ("sum", "concat") or (usage == "init" and freeze):
+            pass
+        if usage in ("sum", "concat"):
+            entry["id_table"] = self.param(
+                f"table_{name}", get_initializer(self.embedding_initializer),
+                (vocab_size, dim))
+        if usage == "concat" or (usage != "concat" and pretrain_dim != dim):
+            in_dim = pretrain_dim + dim if usage == "concat" else pretrain_dim
+            entry["proj"] = nn.Dense(dim, use_bias=False,
+                                     kernel_init=xavier_normal(),
+                                     name=f"pretrain_proj_{name}")
+        return entry
+
+    # ------------------------------------------------------------- lookups
+    def _lookup_fused(self, batch, plan, name):
+        table = self.tables[plan["dim"]]
+        ids = batch[name].astype(jnp.int32)
+        rows = jnp.take(table, ids + plan["offset"], axis=0)
+        pad = plan["padding_idx"]
+        if pad >= 0:
+            rows = rows * (ids != pad)[..., None].astype(rows.dtype)
+        return rows
+
+    def _lookup_pretrained(self, batch, plan, name):
+        entry = self.pretrained[name]
+        ids = batch[name].astype(jnp.int32)
+        # ids beyond oov collapse to oov (reference masks inputs <= oov_idx)
+        pre = jnp.take(entry["pre_table"], jnp.minimum(ids, entry["oov_idx"]),
+                       axis=0)
+        if entry["freeze"]:
+            pre = jax.lax.stop_gradient(pre)
+        usage = entry["usage"]
+        if usage == "init":
+            out = pre
+        else:
+            own = jnp.take(entry["id_table"], ids, axis=0)
+            if usage == "sum":
+                if "proj" in entry:
+                    pre = entry["proj"](pre)
+                out = pre + own
+            else:  # concat
+                out = jnp.concatenate([pre, own], axis=-1)
+        if "proj" in entry and usage != "sum":
+            out = entry["proj"](out)
+        pad = entry["padding_idx"]
+        if pad >= 0:
+            out = out * (ids != pad)[..., None].astype(out.dtype)
+        return out
+
+    def embedding_dict(self, batch, feature_source=(), feature_type=(),
+                       train=False):
+        """OrderedDict of per-field embeddings: [B, D] or [B, L, D]."""
+        out = OrderedDict()
+        for name, plan in self.layout.fields.items():
+            spec = plan["spec"]
+            if feature_source and not_in_whitelist(spec.get("source"),
+                                                   feature_source):
+                continue
+            if feature_type and not_in_whitelist(plan["type"], feature_type):
+                continue
+            if plan["type"] == "numeric":
+                w = self.numeric_ws[plan["dim"]][plan["numeric_index"]]
+                x = batch[name].astype(jnp.float32).reshape(-1, 1)
+                emb = x * w[None, :]
+            elif plan["type"] == "embedding":
+                emb = batch[name].astype(jnp.float32)
+                if name in self.projections and name not in self.encoders:
+                    emb = self.projections[name](emb)
+            elif plan.get("pretrained"):
+                emb = self._lookup_pretrained(batch, plan, name)
+            else:
+                emb = self._lookup_fused(batch, plan, name)
+            if plan["type"] == "sequence":
+                mask = batch[name] != max(plan["padding_idx"], 0)
+                emb = self._encode_sequence(name, emb, mask)
+            elif name in self.encoders:
+                emb = self._apply_encoders(name, emb, None)
+            out[name] = emb
+        return out
+
+    def _encode_sequence(self, name, emb, mask):
+        if name in self.encoders:
+            return self._apply_encoders(name, emb, mask)
+        if self.pool_sequences == "sum":
+            return masked_sum_pool(emb, mask)
+        if self.pool_sequences == "average":
+            return masked_average_pool(emb, mask)
+        return emb  # [B, L, D]; model consumes the sequence directly
+
+    def _apply_encoders(self, name, emb, mask):
+        for desc in self.encoders[name]:
+            if desc[0] == "pool":
+                m = mask if mask is not None else jnp.any(emb != 0, axis=-1)
+                emb = (masked_average_pool(emb, m) if desc[1] == "average"
+                       else masked_sum_pool(emb, m))
+                mask = None
+            else:
+                emb = desc[1](emb)
+        return emb
+
+    def dict2tensor(self, emb_dict, flatten_emb=False, feature_list=(),
+                    feature_source=(), feature_type=()):
+        """Stack [B, F, D] (equal dims) or concat [B, sum D] per filters."""
+        arrs = []
+        for name, plan in self.layout.fields.items():
+            spec = plan["spec"]
+            if feature_list and not_in_whitelist(name, feature_list):
+                continue
+            if feature_source and not_in_whitelist(spec.get("source"),
+                                                   feature_source):
+                continue
+            if feature_type and not_in_whitelist(plan["type"], feature_type):
+                continue
+            if name in emb_dict:
+                arrs.append(emb_dict[name])
+        if flatten_emb:
+            return jnp.concatenate([a.reshape(a.shape[0], -1) for a in arrs],
+                                   axis=-1)
+        return jnp.stack(arrs, axis=1)
+
+    def __call__(self, batch, feature_source=(), feature_type=(),
+                 flatten_emb=False, train=False):
+        emb_dict = self.embedding_dict(batch, feature_source=feature_source,
+                                       feature_type=feature_type, train=train)
+        return self.dict2tensor(emb_dict, flatten_emb=flatten_emb,
+                                feature_source=feature_source,
+                                feature_type=feature_type)
+
+    def sequence_mask(self, batch, name):
+        """Valid-position mask for a sequence field: ids != padding_idx."""
+        pad = self.feature_map.features[name].get("padding_idx", 0) or 0
+        return batch[name] != pad

@@ -1,0 +1,61 @@
+"""End-to-end smoke + learning tests on the tiny fixtures (the reference's
+test strategy: run every model's *_test expid one epoch — tests/test_torch.sh)."""
+
+import numpy as np
+import pytest
+
+from fuxictr_tpu.experiment import run_expid
+
+CFG = "/root/repo/configs/tiny"
+
+RANKING_EXPIDS = [
+    "LR_test", "FM_test", "DNN_test", "WideDeep_test", "DeepFM_test",
+    "DCN_test", "DCNv2_test", "DCNv2_mix_test", "xDeepFM_test", "AutoInt_test",
+]
+
+
+@pytest.mark.parametrize("expid", RANKING_EXPIDS)
+def test_model_smoke(expid, tmp_path):
+    from fuxictr_tpu.config import load_config
+    params = load_config(CFG, expid)
+    params["model_root"] = str(tmp_path)
+    result = run_expid(CFG, expid, params=params)
+    assert 0.0 < result["valid"]["AUC"] <= 1.0
+    assert result["valid"]["logloss"] < 5.0
+
+
+def test_deepfm_learns(tmp_path):
+    """DeepFM should fit the tiny train set well within a few epochs."""
+    from fuxictr_tpu.config import load_config
+    params = load_config(CFG, "DeepFM_test")
+    params.update(model_root=str(tmp_path), epochs=3)
+    result = run_expid(CFG, "DeepFM_test", params=params)
+    assert result["valid"]["AUC"] > 0.6
+
+
+def test_npz_format(tmp_path):
+    from fuxictr_tpu.config import load_config
+    params = load_config(CFG, "DeepFM_test")
+    params.update(
+        model_root=str(tmp_path), dataset_id="tiny_npz", data_format="npz",
+        train_data="/root/reference/data/tiny_npz/train.npz",
+        valid_data="/root/reference/data/tiny_npz/valid.npz",
+        test_data="/root/reference/data/tiny_npz/test.npz")
+    result = run_expid(CFG, "DeepFM_test", params=params)
+    assert 0.0 < result["valid"]["AUC"] <= 1.0
+
+
+def test_streaming_loader_equivalence():
+    """Streaming vs in-memory loaders must visit the same rows."""
+    from fuxictr_tpu.data import (BlockStreamingDataLoader, InMemoryDataLoader)
+    from fuxictr_tpu.features import FeatureMap
+    fm = FeatureMap("tiny_parquet", "/root/reference/data/tiny_parquet")
+    fm.load("/root/reference/data/tiny_parquet/feature_map.json", {})
+    path = "/root/reference/data/tiny_parquet/train.parquet"
+    mem = InMemoryDataLoader(fm, path, batch_size=32, shuffle=False)
+    stream = BlockStreamingDataLoader(fm, path, batch_size=32, shuffle=False)
+    assert len(mem) == len(stream) == 4
+    assert mem.num_samples == stream.num_samples == 100
+    a = np.concatenate([b["userid"][b["__mask__"] > 0] for b in mem])
+    b = np.concatenate([b["userid"][b["__mask__"] > 0] for b in stream])
+    np.testing.assert_array_equal(a, b)
