@@ -33,6 +33,8 @@ from fuxictr_tpu.config import Monitor
 from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
 from fuxictr_tpu.metrics import evaluate_metrics
 from fuxictr_tpu.ops.common import get_regularizer
+from fuxictr_tpu.parallel import (param_sharding, replicated, shard_batch,
+                                  shard_params)
 
 
 def seed_everything(seed=2019):
@@ -127,6 +129,7 @@ class RankModel:
         self._loss_name = kwargs.get("loss", "binary_crossentropy")
         self._learning_rate = kwargs.get("learning_rate", 1e-3)
         self.state = None
+        self.mesh = None
         self._rng = seed_everything(kwargs.get("seed", 2019))
         self._jit_train_step = None
         self._jit_predict_step = None
@@ -180,6 +183,36 @@ class RankModel:
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             model_state=model_state, opt_state=self._tx.init(params))
+
+    def distribute(self, mesh):
+        """Place the train state on a (data, model) mesh: embedding tables
+        row-sharded over 'model', dense params replicated, and re-init the
+        optimizer state so its moments inherit the param shardings.
+
+        New TPU architecture — the reference is single-device only
+        (SURVEY.md §2.6). Batches are sharded over 'data' in the train loop.
+        """
+        if self.state is None:
+            self.init_params()
+        self.mesh = mesh
+        params = shard_params(mesh, self.state.params)
+        model_state = jax.device_put(self.state.model_state, replicated(mesh))
+        # adam moments mirror the params tree, so their tree paths contain the
+        # param names and the same sharding rule applies; jit alone does not
+        # propagate input shardings to init outputs, so pin out_shardings.
+        opt_shapes = jax.eval_shape(self._tx.init, params)
+        opt_shardings = jax.tree_util.tree_map_with_path(
+            lambda p, l: param_sharding(mesh, p, l), opt_shapes)
+        opt_state = jax.jit(self._tx.init,
+                            out_shardings=opt_shardings)(params)
+        self.state = TrainState(
+            step=jax.device_put(self.state.step, replicated(mesh)),
+            params=params, model_state=model_state, opt_state=opt_state)
+        self._jit_train_step = None
+        self._jit_predict_step = None
+
+    def _place_batch(self, batch):
+        return shard_batch(self.mesh, batch) if self.mesh is not None else batch
 
     # ------------------------------------------------------------- lossref
     def get_labels(self, batch):
@@ -289,7 +322,8 @@ class RankModel:
             self._batch_index = batch_index
             self._total_steps += 1
             self._rng, step_rng = jax.random.split(self._rng)
-            self.state, loss = self._jit_train_step(self.state, batch, step_rng)
+            self.state, loss = self._jit_train_step(
+                self.state, self._place_batch(batch), step_rng)
             pending_losses.append(loss)
             if self._total_steps % self._eval_steps == 0:
                 train_loss = float(np.mean(jax.device_get(pending_losses)))
@@ -351,7 +385,7 @@ class RankModel:
             self.init_params()
         preds, masks, groups = [], [], []
         for batch in data_generator:
-            y = self._jit_predict_step(self.state, batch)
+            y = self._jit_predict_step(self.state, self._place_batch(batch))
             preds.append(np.asarray(y).reshape(len(batch[SAMPLE_MASK_KEY]), -1))
             masks.append(batch[SAMPLE_MASK_KEY] > 0)
             if self.feature_map.group_id is not None:
@@ -366,7 +400,7 @@ class RankModel:
         if self._jit_predict_step is None:
             self._jit_predict_step = self._make_predict_step()
         for batch in data_generator:
-            y = self._jit_predict_step(self.state, batch)
+            y = self._jit_predict_step(self.state, self._place_batch(batch))
             m = batch[SAMPLE_MASK_KEY] > 0
             y_pred_parts.append(np.asarray(y).reshape(len(m), -1)[m])
             y_true_parts.append(

@@ -338,7 +338,13 @@ class FeatureEmbedding(nn.Module):
             if feature_type and not_in_whitelist(plan["type"], feature_type):
                 continue
             if name in emb_dict:
-                arrs.append(emb_dict[name])
+                a = emb_dict[name]
+                if a.ndim == 3:
+                    # unpooled sequence: masked-average with zero-row-inferred
+                    # mask (reference MaskedAveragePooling, pooling.py:23) so
+                    # flat consumers see one [B, D] vector per field
+                    a = masked_average_pool(a, jnp.any(a != 0, axis=-1))
+                arrs.append(a)
         if flatten_emb:
             return jnp.concatenate([a.reshape(a.shape[0], -1) for a in arrs],
                                    axis=-1)
