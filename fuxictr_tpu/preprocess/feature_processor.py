@@ -1,0 +1,384 @@
+"""Offline feature-engineering orchestrator.
+
+Parity with the reference FeatureProcessor
+(/root/reference/fuxictr/preprocess/feature_processor.py:37-502): reads
+csv/parquet, null-fills, applies named custom preprocess functions, fits
+per-type tokenizers/normalizers, merges share_embedding vocabs, expands
+pretrained vocab, and persists ``feature_map.json`` /
+``feature_vocab.json`` / ``feature_processor.pkl`` in the same schema, so
+artifacts interoperate between frameworks.
+
+Differences: built on pandas + pyarrow (the reference uses Polars, which
+is absent here); dtype strings resolve through a table (no ``eval``);
+custom ``preprocess:`` functions resolve via ``getattr`` on the processor
+subclass (same extension point) and must return ``fn(df) -> pd.Series``.
+"""
+
+import glob
+import json
+import logging
+import os
+import pickle
+import re
+import shutil
+from collections import OrderedDict
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from fuxictr_tpu.features import FeatureMap
+from fuxictr_tpu.preprocess.normalizer import Normalizer
+from fuxictr_tpu.preprocess.tokenizer import Tokenizer
+
+_DTYPES = {"str": str, str: str, "int": "Int64", int: "Int64",
+           "float": float, float: float}
+
+_NP_DTYPES = {"str": str, str: str, "int": int, int: int,
+              "float": float, float: float}
+
+
+class FeatureProcessor:
+    def __init__(self, feature_cols=None, label_col=None, dataset_id=None,
+                 data_root="../data/", **kwargs):
+        logging.info("Set up feature processor...")
+        self.data_dir = os.path.join(data_root, dataset_id)
+        self.pickle_file = os.path.join(self.data_dir, "feature_processor.pkl")
+        self.json_file = os.path.join(self.data_dir, "feature_map.json")
+        self.vocab_file = os.path.join(self.data_dir, "feature_vocab.json")
+        self.feature_cols = self._complete_feature_cols(feature_cols or [])
+        label_col = label_col or []
+        self.label_cols = label_col if isinstance(label_col, list) else [label_col]
+        self.feature_map = FeatureMap(dataset_id, self.data_dir)
+        self.feature_map.labels = [col["name"] for col in self.label_cols]
+        self.feature_map.group_id = kwargs.get("group_id", None)
+        self.dtype_dict = {feat["name"]: _DTYPES[feat["dtype"]]
+                           for feat in self.feature_cols + self.label_cols}
+        self.processor_dict = {}
+
+    @staticmethod
+    def _complete_feature_cols(feature_cols):
+        """Expand a name-list spec into one spec per column."""
+        full = []
+        for col in feature_cols:
+            names = col["name"]
+            if isinstance(names, list):
+                for n in names:
+                    c = col.copy()
+                    c["name"] = n
+                    full.append(c)
+            else:
+                full.append(col)
+        return full
+
+    # ------------------------------------------------------------------ io
+    def read_data(self, data_path, data_format="csv", sep=",", n_rows=None,
+                  **kwargs):
+        if not data_path.endswith(data_format):
+            data_path = os.path.join(data_path, f"*.{data_format}")
+        logging.info("Reading files: %s", data_path)
+        file_names = sorted(glob.glob(data_path))
+        assert len(file_names) > 0, f"Invalid data path: {data_path}"
+        frames = []
+        for f in file_names:
+            if data_format == "csv":
+                df = pd.read_csv(f, sep=sep, dtype={
+                    k: (v if v != "Int64" else "Int64")
+                    for k, v in self.dtype_dict.items()}, nrows=n_rows)
+            elif data_format == "parquet":
+                df = pd.read_parquet(f)
+                if n_rows:
+                    df = df.head(n_rows)
+            else:
+                raise NotImplementedError(f"data_format={data_format}")
+            frames.append(df)
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 \
+            else frames[0]
+
+    # -------------------------------------------------------- preprocessing
+    def preprocess(self, df):
+        """Null-fill + named custom preprocess functions + column select."""
+        logging.info("Preprocess feature columns...")
+        all_cols = self.label_cols + self.feature_cols[::-1]
+        for col in all_cols:
+            name = col["name"]
+            dtype = col["dtype"]
+            if dtype in ("str", str):
+                fill_na = col.get("fill_na", "")
+            elif dtype in ("int", int):
+                fill_na = col.get("fill_na", 0)
+            elif dtype in ("float", float):
+                fill_na = col.get("fill_na", 0.0)
+            else:
+                fill_na = None
+            if fill_na is not None and name in df.columns:
+                df[name] = df[name].fillna(fill_na)
+            if col.get("preprocess"):
+                fn_args = re.split(r"\(|\)", col["preprocess"])
+                fn = getattr(self, fn_args[0])
+                args = [name] if len(fn_args) == 1 else [
+                    a for a in fn_args[1:-1] if a]
+                df[name] = np.asarray(fn(df, *args)).astype(
+                    _NP_DTYPES[col["dtype"]])
+                if fill_na is not None:
+                    df[name] = df[name].fillna(fill_na) \
+                        if hasattr(df[name], "fillna") else df[name]
+            if col.get("type") == "sequence" and len(df) > 0 and \
+                    isinstance(df[name].iloc[0], (list, np.ndarray)):
+                # normalize parquet list columns to splitter-joined strings
+                splitter = col.get("splitter", "^")
+                df[name] = df[name].map(
+                    lambda xs: splitter.join(str(x) for x in xs))
+        active = [c["name"] for c in all_cols if c.get("active") is not False]
+        return df[active]
+
+    # --------------------------------------------------------------- fitting
+    def fit(self, train_df, min_categr_count=1, num_buckets=10,
+            rebuild_dataset=True, **kwargs):
+        logging.info("Fit feature processor...")
+        self.rebuild_dataset = rebuild_dataset
+        for col in self.feature_cols:
+            if not col.get("active", True):
+                continue
+            logging.info("Processing column: %s", col)
+            series = train_df[col["name"]] if rebuild_dataset else None
+            t = col["type"]
+            if t == "meta":
+                self.fit_meta_col(col)
+            elif t == "numeric":
+                self.fit_numeric_col(col, series)
+            elif t == "embedding":
+                self.fit_embedding_col(col)
+            elif t == "categorical":
+                self.fit_categorical_col(col, series,
+                                         min_categr_count=min_categr_count,
+                                         num_buckets=num_buckets)
+            elif t == "sequence":
+                self.fit_sequence_col(col, series,
+                                      min_categr_count=min_categr_count)
+            else:
+                raise NotImplementedError(f"feature type={t}")
+
+        os.makedirs(self.data_dir, exist_ok=True)
+        # expand vocab from pretrained embeddings
+        for col in self.feature_cols:
+            name = col["name"]
+            if "pretrained_emb" in col:
+                logging.info("Loading pretrained embedding: %s", name)
+                spec = self.feature_map.features[name]
+                if "pretrain_dim" in col:
+                    spec["pretrain_dim"] = col["pretrain_dim"]
+                ext = Path(col["pretrained_emb"]).suffix
+                local_name = f"pretrained_{name}{ext}"
+                shutil.copy(col["pretrained_emb"],
+                            os.path.join(self.data_dir, local_name))
+                spec["pretrained_emb"] = local_name
+                spec["freeze_emb"] = col.get("freeze_emb", True)
+                spec["pretrain_usage"] = col.get("pretrain_usage", "init")
+                tokenizer = self.processor_dict[name + "::tokenizer"]
+                tokenizer.load_pretrained_vocab(
+                    _NP_DTYPES[col["dtype"]], col["pretrained_emb"])
+                spec["vocab_size"] = tokenizer.vocab_size()
+
+        # share_embedding vocab sync + total_features accounting
+        for name, spec in self.feature_map.features.items():
+            if spec["type"] == "numeric":
+                self.feature_map.total_features += 1
+            elif spec["type"] in ("categorical", "sequence"):
+                if "share_embedding" in spec:
+                    tokenizer = self.processor_dict[name + "::tokenizer"]
+                    tokenizer.vocab = self.processor_dict[
+                        spec["share_embedding"] + "::tokenizer"].vocab
+                    spec.update({"oov_idx": tokenizer.vocab["__OOV__"],
+                                 "vocab_size": tokenizer.vocab_size()})
+                else:
+                    self.feature_map.total_features += spec["vocab_size"]
+                if "pretrained_emb" not in spec:
+                    spec.pop("oov_idx", None)
+
+        self.feature_map.num_fields = self.feature_map.get_num_fields()
+        self.feature_map.set_column_index()
+        self.feature_map.save(self.json_file)
+        self.save_pickle(self.pickle_file)
+        self.save_vocab(self.vocab_file)
+        logging.info("Set feature processor done.")
+
+    def _base_spec(self, col):
+        spec = {"source": col.get("source", ""), "type": col["type"]}
+        for key in ("feature_encoder", "embedding_dim", "emb_output_dim"):
+            if key in col:
+                spec[key] = col[key]
+        return spec
+
+    def fit_meta_col(self, col):
+        name = col["name"]
+        self.feature_map.features[name] = {"type": col["type"]}
+        if col.get("remap", True):
+            self.processor_dict[name + "::tokenizer"] = Tokenizer(
+                min_freq=1, remap=True)
+
+    def fit_numeric_col(self, col, series):
+        name = col["name"]
+        self.feature_map.features[name] = self._base_spec(col)
+        if "normalizer" in col:
+            normalizer = Normalizer(col["normalizer"])
+            if self.rebuild_dataset:
+                normalizer.fit(series.dropna().to_numpy())
+            self.processor_dict[name + "::normalizer"] = normalizer
+
+    def fit_embedding_col(self, col):
+        name = col["name"]
+        spec = self._base_spec(col)
+        if "pretrain_dim" in col:
+            spec["pretrain_dim"] = col["pretrain_dim"]
+        self.feature_map.features[name] = spec
+
+    def fit_categorical_col(self, col, series, min_categr_count=1,
+                            num_buckets=10):
+        name = col["name"]
+        min_categr_count = col.get("min_categr_count", min_categr_count)
+        self.feature_map.features[name] = self._base_spec(col)
+        if "category_processor" not in col:
+            tokenizer = Tokenizer(min_freq=min_categr_count,
+                                  na_value=col.get("fill_na", ""),
+                                  remap=col.get("remap", True))
+            if self.rebuild_dataset:
+                tokenizer.fit_on_series(series)
+            elif "vocab_size" in col:
+                tokenizer.update_vocab(range(col["vocab_size"] - 1))
+            else:
+                raise ValueError(
+                    f"{name}: vocab_size required when rebuild_dataset=False")
+            if "share_embedding" in col:
+                self.feature_map.features[name]["share_embedding"] = \
+                    col["share_embedding"]
+                self._merge_shared(name, col["share_embedding"], tokenizer)
+            self.processor_dict[name + "::tokenizer"] = tokenizer
+            self.feature_map.features[name].update(
+                {"padding_idx": 0, "oov_idx": tokenizer.vocab["__OOV__"],
+                 "vocab_size": tokenizer.vocab_size()})
+        else:
+            cp = col["category_processor"]
+            self.feature_map.features[name]["category_processor"] = cp
+            num_buckets = col.get("num_buckets", num_buckets)
+            if cp == "quantile_bucket":
+                from sklearn.preprocessing import QuantileTransformer
+                qtf = QuantileTransformer(n_quantiles=num_buckets + 1)
+                if self.rebuild_dataset:
+                    qtf.fit(series.to_numpy().reshape(-1, 1))
+                    self.processor_dict[name + "::boundaries"] = \
+                        qtf.quantiles_[1:-1]
+                self.feature_map.features[name]["vocab_size"] = num_buckets
+            elif cp == "hash_bucket":
+                self.feature_map.features[name]["vocab_size"] = num_buckets
+                self.processor_dict[name + "::num_buckets"] = num_buckets
+            else:
+                raise NotImplementedError(f"category_processor={cp}")
+
+    def fit_sequence_col(self, col, series, min_categr_count=1):
+        name = col["name"]
+        min_categr_count = col.get("min_categr_count", min_categr_count)
+        spec = self._base_spec(col)
+        feature_encoder = col.get("feature_encoder",
+                                  "layers.MaskedAveragePooling()")
+        if feature_encoder not in (None, "null", "None", "none"):
+            spec["feature_encoder"] = feature_encoder
+        else:
+            spec.pop("feature_encoder", None)
+        self.feature_map.features[name] = spec
+        tokenizer = Tokenizer(min_freq=min_categr_count,
+                              splitter=col.get("splitter", "^"),
+                              na_value=col.get("fill_na", ""),
+                              max_len=col.get("max_len", 0),
+                              padding=col.get("padding", "post"),
+                              remap=col.get("remap", True))
+        if self.rebuild_dataset:
+            tokenizer.fit_on_series(series)
+        elif "vocab_size" in col:
+            tokenizer.update_vocab(range(col["vocab_size"] - 1))
+        else:
+            raise ValueError(
+                f"{name}: vocab_size required when rebuild_dataset=False")
+        if "share_embedding" in col:
+            spec["share_embedding"] = col["share_embedding"]
+            self._merge_shared(name, col["share_embedding"], tokenizer)
+        self.processor_dict[name + "::tokenizer"] = tokenizer
+        spec.update({"padding_idx": 0, "oov_idx": tokenizer.vocab["__OOV__"],
+                     "max_len": tokenizer.max_len,
+                     "vocab_size": tokenizer.vocab_size()})
+
+    def _merge_shared(self, name, owner, tokenizer):
+        tknzr_name = owner + "::tokenizer"
+        self.processor_dict[tknzr_name] = tokenizer.merge_vocab(
+            self.processor_dict[tknzr_name])
+        self.feature_map.features[owner].update(
+            {"oov_idx": self.processor_dict[tknzr_name].vocab["__OOV__"],
+             "vocab_size": self.processor_dict[tknzr_name].vocab_size()})
+
+    # ------------------------------------------------------------ transform
+    def transform(self, df):
+        """Encode a pandas DataFrame to ids/normalized values (new frame)."""
+        logging.info("Transform feature columns to IDs...")
+        out = {}
+        for feature, spec in self.feature_map.features.items():
+            if feature not in df.columns:
+                continue
+            t = spec["type"]
+            series = df[feature]
+            if t == "meta":
+                tok = self.processor_dict.get(feature + "::tokenizer")
+                out[feature] = tok.encode_meta(series) if tok \
+                    else series.to_numpy()
+            elif t == "numeric":
+                normalizer = self.processor_dict.get(feature + "::normalizer")
+                out[feature] = (normalizer.transform(series.to_numpy())
+                                if normalizer else series.to_numpy())
+            elif t == "categorical":
+                cp = spec.get("category_processor")
+                if cp is None:
+                    out[feature] = self.processor_dict[
+                        feature + "::tokenizer"].encode_category(series)
+                else:
+                    raise NotImplementedError(f"category_processor={cp}")
+            elif t == "sequence":
+                out[feature] = self.processor_dict[
+                    feature + "::tokenizer"].encode_sequence(series)
+            elif t == "embedding":
+                out[feature] = series.to_list()
+        for label in self.feature_map.labels:
+            if label in df.columns:
+                out[label] = df[label].to_numpy()
+        return pd.DataFrame(out)
+
+    # ------------------------------------------------------------- persist
+    def load_pickle(self, pickle_file=None):
+        pickle_file = pickle_file or self.pickle_file
+        logging.info("Load feature_processor from pickle: %s", pickle_file)
+        if os.path.exists(pickle_file):
+            with open(pickle_file, "rb") as fd:
+                fp = pickle.load(fd)
+            if fp.feature_map.dataset_id == self.feature_map.dataset_id:
+                return fp
+        raise IOError(f"pickle_file={pickle_file} not valid.")
+
+    def save_pickle(self, pickle_file):
+        logging.info("Pickle feature_processor: %s", pickle_file)
+        os.makedirs(os.path.dirname(pickle_file), exist_ok=True)
+        with open(pickle_file, "wb") as fd:
+            pickle.dump(self, fd)
+
+    def save_vocab(self, vocab_file):
+        logging.info("Save feature_vocab to json: %s", vocab_file)
+        vocab = {}
+        for feature, spec in self.feature_map.features.items():
+            if spec["type"] in ("categorical", "sequence"):
+                vocab[feature] = OrderedDict(
+                    sorted(self.processor_dict[
+                        feature + "::tokenizer"].vocab.items(),
+                        key=lambda x: x[1]))
+        with open(vocab_file, "w") as fd:
+            fd.write(json.dumps(vocab, indent=4, default=str))
+
+    # extension point used by YAML `preprocess:` fields
+    def copy_from(self, df, src_col):
+        return df[src_col]
