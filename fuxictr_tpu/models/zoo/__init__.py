@@ -1,6 +1,10 @@
 """Model zoo. Importing this package registers every model class."""
 
 from fuxictr_tpu.models.zoo import ranking  # noqa: F401
+from fuxictr_tpu.models.zoo import ranking2  # noqa: F401
+from fuxictr_tpu.models.zoo import ranking3  # noqa: F401
+from fuxictr_tpu.models.zoo import ranking4  # noqa: F401
+from fuxictr_tpu.models.zoo import sequence  # noqa: F401
 
 from fuxictr_tpu.models.registry import MODEL_REGISTRY  # noqa: F401
 

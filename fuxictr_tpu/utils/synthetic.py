@@ -22,14 +22,18 @@ def make_synthetic_feature_map(dataset_id="synthetic",
     """A FeatureMap resembling Criteo (or a behavior-sequence dataset)."""
     fm = FeatureMap(dataset_id, data_dir="")
     features = OrderedDict()
+    # sources cycle user/item/context so source-aware models (DSSM, FLEN,
+    # DLRM dense path) exercise their grouping logic on synthetic data
+    sources = ("user", "item", "context")
     for i in range(num_numeric):
-        features[f"I{i+1}"] = {"source": "", "type": "numeric"}
+        features[f"I{i+1}"] = {"source": sources[i % 3], "type": "numeric"}
     for i in range(num_categorical):
-        features[f"C{i+1}"] = {"source": "", "type": "categorical",
+        features[f"C{i+1}"] = {"source": sources[i % 3],
+                               "type": "categorical",
                                "padding_idx": 0,
                                "vocab_size": int(vocab_size)}
     for i in range(num_sequence):
-        features[f"S{i+1}"] = {"source": "", "type": "sequence",
+        features[f"S{i+1}"] = {"source": "user", "type": "sequence",
                                "padding_idx": 0, "vocab_size": int(vocab_size),
                                "max_len": seq_len,
                                "share_embedding": "C1" if num_categorical else None}
