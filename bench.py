@@ -42,14 +42,15 @@ def main():
     batch = jax.device_put(batch)
     rng = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile; NOTE: on the axon remote backend block_until_ready
+    # returns after dispatch, so fetch the loss scalar as a true barrier
     state, loss = train_step(model.state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, loss = train_step(state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)   # scalar fetch waits for the full dependency chain
     dt = time.perf_counter() - t0
 
     examples_per_sec = steps * batch_size / dt

@@ -1,0 +1,140 @@
+"""Hyperparameter grid search.
+
+Parity with /root/reference/fuxictr/autotuner.py:32-179: cartesian-product
+expansion of ``tuner_space`` into md5-hashed expids, generated
+dataset/model YAML, and a subprocess scheduler. The reference cycles a GPU
+id list; here each slot is an opaque *device slot* string exported to the
+child process as ``FUXICTR_DEVICE_SLOT`` (e.g. a TPU slice name or just a
+worker index) — JAX picks up its devices from the environment.
+"""
+
+import glob
+import hashlib
+import itertools
+import logging
+import os
+import subprocess
+import time
+
+import numpy as np
+import yaml
+
+from fuxictr_tpu.config import (load_dataset_config, load_model_config,
+                                print_to_json)
+
+
+def enumerate_params(config_file, exclude_expid=()):
+    """Expand tuner_space into per-expid YAML configs; returns config dir."""
+    with open(config_file, "r") as cfg:
+        config_dict = yaml.safe_load(cfg)
+    tune_dict = config_dict["tuner_space"]
+    for k, v in tune_dict.items():
+        if not isinstance(v, list):
+            tune_dict[k] = [v]
+    experiment_id = config_dict["base_expid"]
+    if "model_config" in config_dict:
+        model_dict = config_dict["model_config"][experiment_id]
+    else:
+        base_config_dir = config_dict.get(
+            "base_config", os.path.dirname(config_file))
+        model_dict = load_model_config(base_config_dir, experiment_id)
+    dataset_id = config_dict.get("dataset_id", model_dict["dataset_id"])
+    if "dataset_config" in config_dict:
+        dataset_dict = config_dict["dataset_config"][dataset_id]
+    else:
+        dataset_dict = load_dataset_config(base_config_dir, dataset_id)
+    if model_dict["dataset_id"] == "TBD":
+        model_dict["dataset_id"] = dataset_id
+        experiment_id = model_dict["model"] + "_" + dataset_id
+
+    tuner_keys = set(tune_dict.keys())
+    base_keys = set(model_dict.keys()) | set(dataset_dict.keys())
+    if tuner_keys - base_keys:
+        raise RuntimeError(
+            f"Invalid params in tuner config: {tuner_keys - base_keys}")
+
+    config_dir = config_file.replace(".yaml", "")
+    os.makedirs(config_dir, exist_ok=True)
+
+    dataset_dict = {k: tune_dict.get(k, [v]) for k, v in dataset_dict.items()}
+    dataset_para_combs = {}
+    for values in itertools.product(*map(dataset_dict.get, dataset_dict)):
+        params = dict(zip(dataset_dict.keys(), values))
+        if params.get("data_format") == "npz" or (
+                params.get("data_format") == "parquet"
+                and params.get("rebuild_dataset") is False):
+            dataset_para_combs[dataset_id] = params
+        else:
+            hash_id = hashlib.md5("".join(
+                sorted(print_to_json(params))).encode()).hexdigest()[:8]
+            dataset_para_combs[f"{dataset_id}_{hash_id}"] = params
+    with open(os.path.join(config_dir, "dataset_config.yaml"), "w") as fw:
+        yaml.dump(dataset_para_combs, fw, default_flow_style=None, indent=4)
+
+    model_dict = {k: tune_dict.get(k, [v]) for k, v in model_dict.items()}
+    model_param_combs = [
+        dict(zip(model_dict.keys(), values))
+        for values in itertools.product(*map(model_dict.get, model_dict))]
+    merged = {}
+    for idx, (para_dict, ds_id) in enumerate(
+            itertools.product(model_param_combs, dataset_para_combs)):
+        para_dict = dict(para_dict)
+        para_dict["dataset_id"] = ds_id
+        para_dict.pop("model_id", None)
+        random_str = ""
+        if para_dict.get("debug_mode"):
+            random_str = "{:06d}".format(np.random.randint(1e6))
+        hash_id = hashlib.md5(
+            ("".join(sorted(print_to_json(para_dict)))
+             + random_str).encode()).hexdigest()[:8]
+        hash_expid = f"{experiment_id}_{idx + 1:03d}_{hash_id}"
+        if hash_expid not in exclude_expid:
+            merged[hash_expid] = para_dict
+    with open(os.path.join(config_dir, "model_config.yaml"), "w") as fw:
+        yaml.dump(merged, fw, default_flow_style=None, indent=4)
+    logging.info("Enumerated %d tuner configurations.", len(merged))
+    return config_dir
+
+
+def load_experiment_ids(config_dir):
+    model_configs = glob.glob(os.path.join(config_dir, "model_config.yaml")) \
+        or glob.glob(os.path.join(config_dir, "model_config/*.yaml"))
+    expids = []
+    for config in model_configs:
+        with open(config, "r") as cfg:
+            expids += list(yaml.safe_load(cfg).keys())
+    return sorted(expids)
+
+
+def grid_search(config_dir, device_slots, expid_tag=None,
+                script="run_expid.py", poll_interval=3):
+    """Run every expid, one subprocess per idle device slot.
+
+    ``device_slots``: list of opaque slot names (TPU slices, host indices,
+    or simply ["0"] for one-at-a-time).
+    """
+    experiment_id_list = load_experiment_ids(config_dir)
+    if expid_tag is not None:
+        experiment_id_list = [e for e in experiment_id_list
+                              if str(expid_tag) in e]
+        assert experiment_id_list, f"tag={expid_tag} matches no expid."
+    device_slots = [str(s) for s in device_slots]
+    idle_queue = list(range(len(device_slots)))
+    processes = {}
+    while experiment_id_list:
+        if idle_queue:
+            idle_idx = idle_queue.pop(0)
+            slot = device_slots[idle_idx]
+            expid = experiment_id_list.pop(0)
+            env = dict(os.environ, FUXICTR_DEVICE_SLOT=slot)
+            cmd = ["python", "-u", script, "--config", config_dir,
+                   "--expid", expid]
+            logging.info("Launch [slot %s]: %s", slot, " ".join(cmd))
+            processes[idle_idx] = subprocess.Popen(cmd, env=env)
+        else:
+            time.sleep(poll_interval)
+            for idle_idx, p in processes.items():
+                if p.poll() is not None and idle_idx not in idle_queue:
+                    idle_queue.append(idle_idx)
+    for p in processes.values():
+        p.wait()

@@ -39,6 +39,12 @@ def run_expid(config_dir, experiment_id, result_file=None, params=None):
     model_cls = get_model(params["model"])
     model = model_cls(feature_map, **params)
 
+    # LongCTR models need the side-table loader (reference injects it via
+    # params["data_loader"], model_zoo/LongCTR/run_expid.py:68-69)
+    if getattr(model_cls, "_longctr", False) and "data_loader" not in params:
+        from fuxictr_tpu.data.longctr_loader import LongCTRDataLoader
+        params["data_loader"] = LongCTRDataLoader
+
     train_gen, valid_gen = RankDataLoader(
         feature_map, stage="train", **params).make_iterator()
     model.fit(train_gen, validation_data=valid_gen,

@@ -70,8 +70,10 @@ def make_loss_fn(loss):
     raise NotImplementedError(f"loss={loss} is not supported.")
 
 
-def make_optimizer(name, lr, max_gradient_norm=10.0):
-    """optax chain: global-norm clip → injected-LR optimizer (mutable LR)."""
+def make_optimizer(name, lr, max_gradient_norm=10.0, accumulation_steps=1):
+    """optax chain: global-norm clip → injected-LR optimizer (mutable LR);
+    optionally wrapped in MultiSteps for gradient accumulation (the
+    reference's SIM-style accumulation, SIM.py:229-246)."""
     name = str(name).lower()
     opts = {
         "adam": optax.adam,
@@ -83,9 +85,12 @@ def make_optimizer(name, lr, max_gradient_norm=10.0):
     }
     if name not in opts:
         raise NotImplementedError(f"optimizer={name} is not supported.")
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(max_gradient_norm),
         optax.inject_hyperparams(opts[name])(learning_rate=lr))
+    if accumulation_steps and accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx
 
 
 class RankModel:
@@ -178,8 +183,11 @@ class RankModel:
 
     def _build_state(self, params, model_state,
                      max_gradient_norm=10.0):
+        self._accumulation_steps = int(
+            self.kwargs.get("accumulation_steps", 1) or 1)
         self._tx = make_optimizer(self._optimizer_name, self._learning_rate,
-                                  max_gradient_norm)
+                                  max_gradient_norm,
+                                  self._accumulation_steps)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             model_state=model_state, opt_state=self._tx.init(params))
@@ -245,7 +253,7 @@ class RankModel:
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, rng):
-            y_true = batch[self.feature_map.labels[0]].reshape(-1, 1)
+            y_true = self.get_labels(batch)
             weights = batch[SAMPLE_MASK_KEY]
 
             def loss_fn(params):
@@ -369,7 +377,10 @@ class RankModel:
     def lr_decay(self, factor=0.1, min_lr=1e-6):
         """Scale the injected optimizer LR in-place (no retrace)."""
         opt_state = self.state.opt_state
-        inner = opt_state[1]
+        if hasattr(opt_state, "inner_opt_state"):   # MultiSteps wrapper
+            inner = opt_state.inner_opt_state[1]
+        else:
+            inner = opt_state[1]
         new_lr = float(inner.hyperparams["learning_rate"]) * factor
         new_lr = max(new_lr, min_lr)
         inner.hyperparams["learning_rate"] = jnp.asarray(

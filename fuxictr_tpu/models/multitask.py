@@ -1,0 +1,120 @@
+"""Multitask training runtime.
+
+Parity with the reference MultiTaskModel
+(/root/reference/fuxictr/pytorch/models/multitask_model.py:29-246): one
+label per task (feature_map.labels), per-task output activations and
+losses, equal-weight ('EQ') loss summation, per-task + mean metric
+reporting. Nets return ``{f"{label}_pred": logits}`` per task.
+"""
+
+import logging
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
+from fuxictr_tpu.metrics import evaluate_metrics
+from fuxictr_tpu.models.base import RankModel, make_loss_fn
+
+
+class MultiTaskModel(RankModel):
+    _multitask = True
+
+    def __init__(self, feature_map, model_id="MultiTaskModel",
+                 task="binary_classification", num_tasks=1, loss_weight="EQ",
+                 **kwargs):
+        super().__init__(feature_map, model_id=model_id,
+                         task="binary_classification", **kwargs)
+        self.num_tasks = num_tasks
+        self.loss_weight = loss_weight
+        tasks = task if isinstance(task, list) else [task] * num_tasks
+        assert len(tasks) == num_tasks, \
+            'the number of tasks must equal the length of "task"'
+        self.tasks = tasks
+
+    # ------------------------------------------------------------- labels
+    def get_labels(self, batch):
+        """[B, T] stacked task labels (order = feature_map.labels)."""
+        return jnp.stack(
+            [jnp.asarray(batch[l]).reshape(-1)
+             for l in self.feature_map.labels], axis=1)
+
+    def add_loss(self, outputs, y_true, weights):
+        losses = self._loss_name if isinstance(self._loss_name, list) \
+            else [self._loss_name] * self.num_tasks
+        w = weights.reshape(-1, 1)
+        total = 0.0
+        for i, label in enumerate(self.feature_map.labels):
+            loss_fn = make_loss_fn(losses[i])
+            per_example = loss_fn(outputs[f"{label}_pred"],
+                                  y_true[:, i:i + 1])
+            total = total + (jnp.sum(per_example * w)
+                             / jnp.maximum(jnp.sum(w), 1.0))
+        if "aux_loss" in outputs:
+            total = total + outputs["aux_loss"]
+        return total  # 'EQ' weighting: plain sum
+
+    # ---------------------------------------------------------- eval/infer
+    def _make_predict_step(self):
+        net = self.net
+        acts = [jax.nn.sigmoid if t == "binary_classification"
+                else (lambda x: x) for t in self.tasks]
+        labels = self.feature_map.labels
+
+        @jax.jit
+        def predict_step(state, batch):
+            outputs = net.apply({"params": state.params, **state.model_state},
+                                batch, train=False)
+            return jnp.concatenate(
+                [acts[i](outputs[f"{label}_pred"])
+                 for i, label in enumerate(labels)], axis=1)   # [B, T]
+
+        return predict_step
+
+    def evaluate(self, data_generator, metrics=None):
+        if self._jit_predict_step is None:
+            self._jit_predict_step = self._make_predict_step()
+        labels = self.feature_map.labels
+        preds, trues, groups = [], [], []
+        for batch in data_generator:
+            y = self._jit_predict_step(self.state, self._place_batch(batch))
+            m = batch[SAMPLE_MASK_KEY] > 0
+            preds.append(np.asarray(y)[m])
+            trues.append(np.asarray(self.get_labels(batch))[m])
+            if self.feature_map.group_id is not None:
+                groups.append(np.asarray(batch[self.feature_map.group_id])[m])
+        y_pred = np.concatenate(preds).astype(np.float64)
+        y_true = np.concatenate(trues).astype(np.float64)
+        group_id = np.concatenate(groups) if groups else None
+        all_logs = {}
+        mean_logs = {}
+        for i, label in enumerate(labels):
+            logs = evaluate_metrics(y_true[:, i], y_pred[:, i],
+                                    metrics or self.validation_metrics,
+                                    group_id)
+            logging.info(f"[Task: {label}][Metrics] " + " - ".join(
+                f"{k}: {v:.6f}" for k, v in logs.items()))
+            for k, v in logs.items():
+                all_logs[f"{label}_{k}"] = v
+                mean_logs.setdefault(k, []).append(v)
+        for k, vs in mean_logs.items():
+            all_logs[k] = float(np.mean(vs))
+        logging.info("[Metrics] " + " - ".join(
+            f"{k}: {np.mean(v):.6f}" for k, v in mean_logs.items()))
+        return all_logs
+
+    def predict(self, data_generator):
+        if self._jit_predict_step is None:
+            self._jit_predict_step = self._make_predict_step()
+        if self.state is None:
+            self.init_params()
+        preds, masks = [], []
+        for batch in data_generator:
+            y = self._jit_predict_step(self.state, self._place_batch(batch))
+            preds.append(np.asarray(y))
+            masks.append(batch[SAMPLE_MASK_KEY] > 0)
+        mask = np.concatenate(masks)
+        y_pred = np.concatenate(preds)[mask]
+        return {label: y_pred[:, i].astype(np.float64)
+                for i, label in enumerate(self.feature_map.labels)}

@@ -279,6 +279,8 @@ class FeatureEmbedding(nn.Module):
         out = OrderedDict()
         for name, plan in self.layout.fields.items():
             spec = plan["spec"]
+            if name not in batch:   # partial dicts (e.g. LongCTR item tables)
+                continue
             if feature_source and not_in_whitelist(spec.get("source"),
                                                    feature_source):
                 continue

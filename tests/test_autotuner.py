@@ -1,0 +1,59 @@
+"""Autotuner tests: grid enumeration + subprocess scheduling end-to-end."""
+
+import os
+
+import pytest
+import yaml
+
+from fuxictr_tpu import autotuner
+
+
+@pytest.fixture
+def tuner_yaml(tmp_path):
+    cfg = {
+        "base_config": os.path.abspath("./configs/tiny"),
+        "base_expid": "DNN_test",
+        "tuner_space": {
+            "learning_rate": [1.0e-3, 1.0e-2],
+            "hidden_units": [[32, 16]],
+        },
+    }
+    path = tmp_path / "tuner_config.yaml"
+    with open(path, "w") as fd:
+        yaml.dump(cfg, fd)
+    return str(path)
+
+
+def test_enumerate_params(tuner_yaml):
+    config_dir = autotuner.enumerate_params(tuner_yaml)
+    expids = autotuner.load_experiment_ids(config_dir)
+    assert len(expids) == 2                       # 2 learning rates
+    assert all(e.startswith("DNN_test_") for e in expids)
+    with open(os.path.join(config_dir, "model_config.yaml")) as fd:
+        model_cfg = yaml.safe_load(fd)
+    lrs = sorted(v["learning_rate"] for v in model_cfg.values())
+    assert lrs == [1.0e-3, 1.0e-2]
+    # same space enumerated twice → identical hashed ids (deterministic)
+    assert autotuner.load_experiment_ids(
+        autotuner.enumerate_params(tuner_yaml)) == expids
+
+
+def test_grid_search_runs_experiments(tuner_yaml, tmp_path):
+    config_dir = autotuner.enumerate_params(tuner_yaml)
+    # run children on CPU: empty PALLAS_AXON_POOL_IPS disables the axon
+    # plugin registration in sitecustomize
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        autotuner.grid_search(config_dir, device_slots=["0", "1"],
+                              script=os.path.abspath("run_expid.py"),
+                              poll_interval=1)
+    finally:
+        os.environ["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
+    result_csv = os.path.join(os.path.abspath(config_dir),
+                              os.path.basename(config_dir) + ".csv")
+    assert os.path.exists(result_csv)
+    with open(result_csv) as fd:
+        lines = [l for l in fd if l.strip()]
+    assert len(lines) == 2                        # one row per expid
+    assert all("[exp_id] DNN_test_" in l for l in lines)

@@ -1,0 +1,123 @@
+"""LongCTR subsystem tests: side-table loader + SIM/ETA/SDIM/TWIN/MIRRN
+end-to-end on a synthetic dataset with parquet side tables."""
+
+from collections import OrderedDict
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from fuxictr_tpu.data.longctr_loader import (ITEMS_KEY, SEQ_MASK_KEY,
+                                             LongCTRDataLoader)
+from fuxictr_tpu.features import FeatureMap
+from fuxictr_tpu.models.registry import MODEL_REGISTRY
+
+import fuxictr_tpu.models.zoo  # noqa: F401
+
+N_USERS, N_ITEMS, N_CATES = 20, 50, 8
+MAX_LEN = 12
+
+
+@pytest.fixture(scope="module")
+def longctr_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("longctr")
+    rng = np.random.default_rng(0)
+    # user side table: full item sequences (variable length)
+    user_seqs = [rng.integers(1, N_ITEMS, rng.integers(1, 40)).tolist()
+                 for _ in range(N_USERS)]
+    pd.DataFrame({"full_item_seq": user_seqs}).to_parquet(
+        root / "user_info.parquet")
+    # item side table: per-item features, indexed 0..N_ITEMS-1 (0 = pad)
+    pd.DataFrame({
+        "item_index": np.arange(N_ITEMS),
+        "item_id": np.arange(N_ITEMS),
+        "cate_id": np.concatenate([[0], rng.integers(1, N_CATES,
+                                                     N_ITEMS - 1)]),
+    }).to_parquet(root / "item_info.parquet")
+    # interaction file
+    n = 64
+    users = rng.integers(0, N_USERS, n)
+    pd.DataFrame({
+        "user_index": users,
+        "seq_len": [min(len(user_seqs[u]), 40) for u in users],
+        "item_index": rng.integers(1, N_ITEMS, n),
+        "user_feat": rng.integers(1, 10, n),
+        "clk": rng.integers(0, 2, n).astype(np.float32),
+    }).to_parquet(root / "train.parquet")
+
+    fm = FeatureMap("synthetic_longctr", data_dir=str(root))
+    fm.features = OrderedDict([
+        ("user_feat", {"source": "user", "type": "categorical",
+                       "padding_idx": 0, "vocab_size": 10}),
+        ("item_id", {"source": "item", "type": "categorical",
+                     "padding_idx": 0, "vocab_size": N_ITEMS}),
+        ("cate_id", {"source": "item", "type": "categorical",
+                     "padding_idx": 0, "vocab_size": N_CATES}),
+    ])
+    fm.labels = ["clk"]
+    fm.num_fields = fm.get_num_fields()
+    fm.default_emb_dim = 8
+    fm.set_column_index()
+    return fm, root
+
+
+def _loader(fm, root, batch_size=16):
+    return LongCTRDataLoader(fm, str(root / "train.parquet"),
+                             batch_size=batch_size, shuffle=False,
+                             user_info=str(root / "user_info.parquet"),
+                             item_info=str(root / "item_info.parquet"),
+                             max_len=MAX_LEN)
+
+
+def test_loader_batch_shapes(longctr_data):
+    fm, root = longctr_data
+    loader = _loader(fm, root)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 4
+    b = batches[0]
+    assert b[SEQ_MASK_KEY].shape == (16, MAX_LEN)
+    assert b[ITEMS_KEY]["item_id"].shape == (16 * (MAX_LEN + 1),)
+    # pre-padding: masks are trailing-true
+    m = b[SEQ_MASK_KEY]
+    for row in m:
+        nz = np.nonzero(row)[0]
+        if len(nz):
+            assert (row[nz[0]:] == 1).all()
+    # target item occupies the last slot of each item row
+    items = b[ITEMS_KEY]["item_id"].reshape(16, MAX_LEN + 1)
+    np.testing.assert_array_equal(items[:, -1], b["item_index"][:16])
+
+
+def test_loader_pads_last_batch(longctr_data):
+    fm, root = longctr_data
+    loader = _loader(fm, root, batch_size=24)  # 64 = 2*24 + 16
+    batches = list(loader)
+    last = batches[-1]
+    assert last[SEQ_MASK_KEY].shape == (24, MAX_LEN)
+    assert last["__mask__"].sum() == 16
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("SIM", dict(topk=5, short_seq_len=4)),
+    ("ETA", dict(topk=5, short_seq_len=4, hash_bits=8)),
+    ("SDIM", dict(short_seq_len=4, num_hashes=2, hash_bits=3)),
+    ("TWIN", dict(topk=5, short_seq_len=4)),
+    ("TWIN", dict(topk=5, short_seq_len=4, Kc_cross_features=1)),
+    ("MIRRN", dict(topk=5, short_seq_len=4, hash_bits=8, max_len=50)),
+])
+def test_longctr_model_trains(name, kw, longctr_data):
+    fm, root = longctr_data
+    model = MODEL_REGISTRY[name](
+        fm, model_id=f"{name}_smoke", embedding_dim=8, attention_dim=8,
+        dnn_hidden_units=(16,), model_root="/tmp/fx_longctr", **kw)
+    loader = _loader(fm, root)
+    batch = next(iter(loader))
+    model._example_batch = lambda batch_size=2: batch  # init on real batch
+    model.init_params()
+    step = model._make_train_step()
+    state, loss = step(model.state, jax.device_put(batch),
+                       jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss)), name
+    y = model._make_predict_step()(state, jax.device_put(batch))
+    assert np.asarray(y).shape[0] == 16

@@ -17,7 +17,8 @@ from fuxictr_tpu.utils.synthetic import (make_synthetic_batch,
 RANKING_MODELS = sorted(
     name for name, cls in MODEL_REGISTRY.items()
     if not getattr(cls, "_requires_sequence", False)
-    and not getattr(cls, "_multitask", False))
+    and not getattr(cls, "_multitask", False)
+    and not getattr(cls, "_longctr", False))
 
 
 @pytest.fixture(scope="module")

@@ -151,3 +151,31 @@ def test_augru_zero_attention_freezes_state():
     params = gru.init(jax.random.PRNGKey(0), seq, attn, mask)
     h = gru.apply(params, seq, attn, mask)
     np.testing.assert_allclose(np.asarray(h), 0, atol=1e-7)
+
+
+MODEL_KW["DMIN"] = dict(target_field=("item_id", "cate_id"),
+                        sequence_field=("click_history", "cate_history"),
+                        neg_seq_field=("neg_click_history",
+                                       "neg_cate_history"),
+                        aux_loss_lambda=0.2, num_heads=2,
+                        dnn_hidden_units=(32,))
+MODEL_KW["DMR"] = dict(target_field=("item_id", "cate_id"),
+                       sequence_field=("click_history", "cate_history"),
+                       neg_seq_field=("neg_click_history",
+                                      "neg_cate_history"),
+                       aux_loss_beta=0.2, enable_i2i_rel=True,
+                       dnn_hidden_units=(32,))
+
+
+@pytest.mark.parametrize("name", ["DMIN", "DMR"])
+def test_dmin_dmr_train(name, seq_fm):
+    cls = MODEL_REGISTRY[name]
+    model = cls(seq_fm, model_id=f"{name}_seq_smoke", embedding_dim=8,
+                model_root="/tmp/fx_seq_smoke", **MODEL_KW[name])
+    model.init_params()
+    batch = jax.device_put(_seq_batch())
+    step = model._make_train_step()
+    state, loss = step(model.state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    y = np.asarray(model._make_predict_step()(state, batch))
+    assert y.shape[0] == 16 and np.isfinite(y).all()
