@@ -136,8 +136,12 @@ class RankModel:
         self.state = None
         self.mesh = None
         self._rng = seed_everything(kwargs.get("seed", 2019))
+        cd = kwargs.get("compute_dtype")
+        self._compute_dtype = None if cd in (None, "float32", "fp32") \
+            else jnp.dtype(cd)
         self._jit_train_step = None
         self._jit_predict_step = None
+        self._jit_multi_step = None
 
     # --------------------------------------------------------------- setup
     def compile(self, optimizer=None, loss=None, lr=None):
@@ -218,6 +222,7 @@ class RankModel:
             params=params, model_state=model_state, opt_state=opt_state)
         self._jit_train_step = None
         self._jit_predict_step = None
+        self._jit_multi_step = None
 
     def _place_batch(self, batch):
         return shard_batch(self.mesh, batch) if self.mesh is not None else batch
@@ -248,19 +253,54 @@ class RankModel:
 
     # --------------------------------------------------------------- steps
     def _make_train_step(self):
-        net = self.net
-        tx = self._tx
+        return partial(jax.jit, donate_argnums=(0,))(self._train_step_body())
+
+    def _make_multi_step(self):
+        """One jitted call that scans ``steps_per_call`` train steps over a
+        stacked batch pytree [K, B, ...] — a single XLA program per K
+        steps, so host dispatch overhead amortizes (TPU-native; no
+        reference equivalent)."""
+        train_step_inner = self._train_step_body()
 
         @partial(jax.jit, donate_argnums=(0,))
+        def multi_step(state, batches, rng):
+            def body(s, inp):
+                batch, r = inp
+                s, loss = train_step_inner(s, batch, r)
+                return s, loss
+
+            k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            rngs = jax.random.split(rng, k)
+            state, losses = jax.lax.scan(body, state, (batches, rngs))
+            return state, jnp.mean(losses)
+
+        return multi_step
+
+    def _train_step_body(self):
+        """Un-jitted single train step (shared by train_step/multi_step)."""
+        net = self.net
+        tx = self._tx
+        compute_dtype = self._compute_dtype
+
         def train_step(state, batch, rng):
             y_true = self.get_labels(batch)
             weights = batch[SAMPLE_MASK_KEY]
 
             def loss_fn(params):
+                apply_params = params
+                if compute_dtype is not None:
+                    # mixed precision: bf16 compute, f32 master params/grads
+                    # (v5e MXU is bf16-native; f32 matmul is emulated)
+                    apply_params = jax.tree_util.tree_map(
+                        lambda x: x.astype(compute_dtype), params)
                 outputs, new_ms = net.apply(
-                    {"params": params, **state.model_state}, batch,
+                    {"params": apply_params, **state.model_state}, batch,
                     train=True, rngs={"dropout": rng},
                     mutable=list(state.model_state.keys()) or ["batch_stats"])
+                if compute_dtype is not None:
+                    outputs = {k: (v.astype(jnp.float32)
+                                   if hasattr(v, "astype") else v)
+                               for k, v in outputs.items()}
                 loss = self.add_loss(outputs, y_true, weights)
                 loss = loss + self.regularization_loss(params)
                 return loss, new_ms
@@ -281,12 +321,17 @@ class RankModel:
         net = self.net
         act = (jax.nn.sigmoid if self.task == "binary_classification"
                else (lambda x: x))
+        compute_dtype = self._compute_dtype
 
         @jax.jit
         def predict_step(state, batch):
-            outputs = net.apply({"params": state.params, **state.model_state},
+            params = state.params
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_dtype), params)
+            outputs = net.apply({"params": params, **state.model_state},
                                 batch, train=False)
-            return act(outputs["y_pred"])
+            return act(outputs["y_pred"].astype(jnp.float32))
 
         return predict_step
 
@@ -325,6 +370,9 @@ class RankModel:
 
     def train_epoch(self, data_generator):
         self._batch_index = 0
+        k = int(self.kwargs.get("steps_per_call", 1) or 1)
+        if k > 1:
+            return self._train_epoch_scanned(data_generator, k)
         pending_losses = []
         for batch_index, batch in enumerate(data_generator):
             self._batch_index = batch_index
@@ -340,6 +388,51 @@ class RankModel:
                 self.eval_step()
             if self._stop_training:
                 break
+
+    def _train_epoch_scanned(self, data_generator, k):
+        """Run k train steps per device dispatch via lax.scan over stacked
+        batches — amortizes host→device dispatch latency."""
+        if self._jit_multi_step is None:
+            self._jit_multi_step = self._make_multi_step()
+        pending = []
+        pending_losses = []
+
+        def flush():
+            if not pending:
+                return
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *pending)
+            pending.clear()
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                stacked = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(
+                        np.asarray(x),
+                        NamedSharding(self.mesh,
+                                      P(None, "data",
+                                        *(None,) * (np.ndim(x) - 2)))),
+                    stacked)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, loss = self._jit_multi_step(
+                self.state, stacked, step_rng)
+            pending_losses.append(loss)
+
+        for batch_index, batch in enumerate(data_generator):
+            self._batch_index = batch_index
+            self._total_steps += 1
+            pending.append(batch)
+            if len(pending) == k:
+                flush()
+            boundary = self._total_steps % self._eval_steps == 0
+            if boundary:
+                flush()
+                train_loss = float(np.mean(jax.device_get(pending_losses)))
+                pending_losses = []
+                logging.info("Train loss: %.6f", train_loss)
+                self.eval_step()
+            if self._stop_training:
+                break
+        flush()
 
     def eval_step(self):
         logging.info("Evaluation @epoch %d - batch %d:",

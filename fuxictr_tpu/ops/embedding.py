@@ -132,6 +132,48 @@ def load_pretrain_emb(path, keys=("key", "value")):
     return df[keys[0]].to_numpy(), np.array(df[keys[1]].to_list())
 
 
+# ---------------------------------------------------------- fast gather
+@jax.custom_vjp
+def table_gather(table, ids):
+    """Embedding row gather with a TPU-efficient backward.
+
+    XLA lowers the autodiff backward of ``jnp.take`` to a scatter-add with
+    possibly-duplicate indices, which the TPU executes SERIALLY (measured:
+    ~73% of a DCNv2 train step). Here the backward sorts the ids, segment-
+    sums duplicate rows, and issues one conflict-free scatter with
+    ``unique_indices=True`` so Mosaic can parallelize it.
+    """
+    return jnp.take(table, ids, axis=0)
+
+
+def _table_gather_fwd(table, ids):
+    return jnp.take(table, ids, axis=0), (table.shape[0], ids)
+
+
+def _table_gather_bwd(res, g):
+    num_rows, ids = res
+    d = g.shape[-1]
+    flat_ids = ids.reshape(-1)
+    flat_g = g.reshape(-1, d)
+    order = jnp.argsort(flat_ids)
+    sid = jnp.take(flat_ids, order)
+    sg = jnp.take(flat_g, order, axis=0)
+    change = jnp.concatenate(
+        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(change) - 1                       # compacted slot ids
+    summed = jax.ops.segment_sum(sg, seg, num_segments=sid.shape[0])
+    # slot -> row id (all writes within a segment carry the same value);
+    # slots past the last unique id keep the OOB sentinel and are dropped
+    slot_rows = jnp.full((sid.shape[0],), num_rows, sid.dtype)
+    slot_rows = slot_rows.at[seg].set(sid)
+    dtable = jnp.zeros((num_rows, d), g.dtype).at[slot_rows].add(
+        summed, mode="drop", unique_indices=True)
+    return dtable, None
+
+
+table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
+
+
 # ----------------------------------------------------------------- module
 class FeatureEmbedding(nn.Module):
     """Unified embedding front-end: batch dict → dict / [B, F, D] / [B, F*D]."""
@@ -240,8 +282,8 @@ class FeatureEmbedding(nn.Module):
     # ------------------------------------------------------------- lookups
     def _lookup_fused(self, batch, plan, name):
         table = self.tables[plan["dim"]]
-        ids = batch[name].astype(jnp.int32)
-        rows = jnp.take(table, ids + plan["offset"], axis=0)
+        ids = jnp.asarray(batch[name]).astype(jnp.int32)
+        rows = table_gather(table, ids + plan["offset"])
         pad = plan["padding_idx"]
         if pad >= 0:
             rows = rows * (ids != pad)[..., None].astype(rows.dtype)
