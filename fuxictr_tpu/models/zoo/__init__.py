@@ -9,6 +9,7 @@ from fuxictr_tpu.models.zoo import sequence2  # noqa: F401
 from fuxictr_tpu.models.zoo import multitask_zoo  # noqa: F401
 from fuxictr_tpu.models.zoo import dynamic  # noqa: F401
 from fuxictr_tpu.models.zoo import longctr  # noqa: F401
+from fuxictr_tpu.models.zoo import longctr2  # noqa: F401
 
 from fuxictr_tpu.models.registry import MODEL_REGISTRY  # noqa: F401
 

@@ -121,3 +121,24 @@ def test_longctr_model_trains(name, kw, longctr_data):
     assert np.isfinite(float(loss)), name
     y = model._make_predict_step()(state, jax.device_put(batch))
     assert np.asarray(y).shape[0] == 16
+
+
+@pytest.mark.parametrize("name", ["LongDIN", "LongDIEN", "LongDCNv2",
+                                  "LongFinalMLP", "LongTransAct"])
+def test_long_variant_trains(name, longctr_data):
+    fm, root = longctr_data
+    kw = {}
+    if name == "LongTransAct":
+        kw = dict(dim_feedforward=16, dcn_hidden_units=(16,))
+    model = MODEL_REGISTRY[name](
+        fm, model_id=f"{name}_smoke", embedding_dim=8,
+        dnn_hidden_units=(16,)
+        if name in ("LongDIN", "LongDIEN") else (16,),
+        model_root="/tmp/fx_longctr", **kw)
+    loader = _loader(fm, root)
+    batch = next(iter(loader))
+    model._example_batch = lambda batch_size=2: batch
+    model.init_params()
+    state, loss = model._make_train_step()(model.state, jax.device_put(batch),
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss)), name
