@@ -1,10 +1,15 @@
-"""Throughput benchmark: DCNv2 training step on a Criteo-shaped workload.
+"""Throughput benchmark: DCNv2 training on a Criteo-shaped workload.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no in-repo throughput numbers (SURVEY.md §6), so
-``vs_baseline`` compares against a measured torch-CPU-equivalent figure when
-BASELINE.json provides one, else reports 1.0x per driver convention.
+Measurement notes (see BENCHMARKS.md): on the axon remote backend
+``block_until_ready`` returns at dispatch, so the loss scalar is fetched as
+a true barrier. The bench exercises the framework's production path:
+bf16 compute (f32 master weights) + ``steps_per_call`` scanned training.
+
+The reference publishes no in-repo throughput numbers (SURVEY.md §6);
+``vs_baseline`` divides by BASELINE.json's dcnv2_examples_per_sec when
+present, else reports 1.0.
 """
 
 import json
@@ -17,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
+    import numpy as np
 
     from fuxictr_tpu.models.zoo.ranking import DCNv2
     from fuxictr_tpu.utils.synthetic import (make_synthetic_batch,
@@ -26,6 +32,8 @@ def main():
     vocab = int(os.environ.get("BENCH_VOCAB", 100000))
     emb_dim = int(os.environ.get("BENCH_EMB_DIM", 16))
     steps = int(os.environ.get("BENCH_STEPS", 50))
+    k = int(os.environ.get("BENCH_STEPS_PER_CALL", 10))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     fm = make_synthetic_feature_map(num_categorical=26, num_numeric=13,
                                     vocab_size=vocab, embedding_dim=emb_dim)
@@ -34,26 +42,29 @@ def main():
                   stacked_dnn_hidden_units=[1024, 512, 256],
                   parallel_dnn_hidden_units=[1024, 512, 256],
                   num_cross_layers=4,
+                  compute_dtype=dtype,
                   model_root="/tmp/fuxictr_tpu_bench")
     model.init_params()
-    train_step = model._make_train_step()
+    multi_step = model._make_multi_step()
 
     batch = make_synthetic_batch(fm, batch_size=batch_size, seed=0)
-    batch = jax.device_put(batch)
+    stacked = jax.tree_util.tree_map(
+        lambda x: np.stack([x] * k), batch)
+    stacked = jax.device_put(stacked)
     rng = jax.random.PRNGKey(0)
 
-    # warmup / compile; NOTE: on the axon remote backend block_until_ready
-    # returns after dispatch, so fetch the loss scalar as a true barrier
-    state, loss = train_step(model.state, batch, rng)
+    # warmup/compile; loss fetch = true barrier on the remote backend
+    state, loss = multi_step(model.state, stacked, rng)
     float(loss)
 
+    n_calls = max(1, steps // k)
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, loss = train_step(state, batch, rng)
-    float(loss)   # scalar fetch waits for the full dependency chain
+    for _ in range(n_calls):
+        state, loss = multi_step(state, stacked, rng)
+    float(loss)
     dt = time.perf_counter() - t0
 
-    examples_per_sec = steps * batch_size / dt
+    examples_per_sec = n_calls * k * batch_size / dt
     baseline = None
     if os.path.exists("BASELINE.json"):
         try:

@@ -133,16 +133,23 @@ def load_pretrain_emb(path, keys=("key", "value")):
 
 
 # ---------------------------------------------------------- fast gather
-@jax.custom_vjp
 def table_gather(table, ids):
-    """Embedding row gather with a TPU-efficient backward.
+    """Embedding row gather — the single interception point for the
+    embedding hot path (sharded/Pallas backends slot in here).
 
-    XLA lowers the autodiff backward of ``jnp.take`` to a scatter-add with
-    possibly-duplicate indices, which the TPU executes SERIALLY (measured:
-    ~73% of a DCNv2 train step). Here the backward sorts the ids, segment-
-    sums duplicate rows, and issues one conflict-free scatter with
-    ``unique_indices=True`` so Mosaic can parallelize it.
+    Measured on v5e (BENCHMARKS.md): XLA's native gather/scatter pair is
+    the practical optimum for narrow rows — sorted-dedupe backward
+    (:func:`table_gather_dedup`) and per-row DMA kernels are no faster, so
+    the default stays on the autodiff path.
     """
+    return jnp.take(table, ids, axis=0)
+
+
+@jax.custom_vjp
+def table_gather_dedup(table, ids):
+    """Gather whose backward sorts ids and segment-sums duplicates into one
+    conflict-free scatter. Useful when id duplication is extreme (e.g.
+    heavy-hitter vocabularies); numerics identical to autodiff."""
     return jnp.take(table, ids, axis=0)
 
 
@@ -171,7 +178,7 @@ def _table_gather_bwd(res, g):
     return dtable, None
 
 
-table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
+table_gather_dedup.defvjp(_table_gather_fwd, _table_gather_bwd)
 
 
 # ----------------------------------------------------------------- module
@@ -253,14 +260,18 @@ class FeatureEmbedding(nn.Module):
         def pretrained_init(key, shape):
             keys, values = load_pretrain_emb(path)
             table = np.zeros(shape, dtype=np.float32)
-            if usage == "init":
-                base = np.asarray(
-                    default_init(key, shape, jnp.float32))
-                table[:] = base
+            filled = np.zeros((shape[0], 1), dtype=bool)
             idx = np.asarray(keys).astype(np.int64)
             ok = (idx >= 0) & (idx < vocab_size)
             table[idx[ok]] = np.asarray(values)[ok]
-            return jnp.asarray(table)
+            filled[idx[ok]] = True
+            out = jnp.asarray(table)
+            if usage == "init":
+                # rows absent from the pretrained file get the default init
+                # (works under jit tracing — no numpy conversion of tracers)
+                base = default_init(key, shape, jnp.float32)
+                out = jnp.where(jnp.asarray(filled), out, base)
+            return out
 
         entry = {"usage": usage, "freeze": freeze, "oov_idx": oov_idx,
                  "padding_idx": plan["padding_idx"]}

@@ -32,10 +32,10 @@ from fuxictr_tpu.preprocess.normalizer import Normalizer
 from fuxictr_tpu.preprocess.tokenizer import Tokenizer
 
 _DTYPES = {"str": str, str: str, "int": "Int64", int: "Int64",
-           "float": float, float: float}
+           "float": float, float: float, "list": object, list: object}
 
 _NP_DTYPES = {"str": str, str: str, "int": int, int: int,
-              "float": float, float: float}
+              "float": float, float: float, "list": object, list: object}
 
 
 class FeatureProcessor:

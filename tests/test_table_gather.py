@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fuxictr_tpu.ops.embedding import table_gather
+from fuxictr_tpu.ops.embedding import table_gather_dedup
 
 
 def test_forward_matches_take():
@@ -24,7 +25,7 @@ def test_backward_matches_take_with_duplicates():
     cot = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32))
 
     def f_custom(t):
-        return jnp.sum(table_gather(t, ids) * cot)
+        return jnp.sum(table_gather_dedup(t, ids) * cot)
 
     def f_ref(t):
         return jnp.sum(jnp.take(t, ids, axis=0) * cot)
@@ -40,7 +41,7 @@ def test_backward_2d_ids():
     table = jnp.asarray(rng.normal(size=(20, 6)).astype(np.float32))
     ids = jnp.asarray(rng.integers(0, 20, (8, 5)))   # sequence-shaped
     cot = jnp.asarray(rng.normal(size=(8, 5, 6)).astype(np.float32))
-    g_custom = jax.grad(lambda t: jnp.sum(table_gather(t, ids) * cot))(table)
+    g_custom = jax.grad(lambda t: jnp.sum(table_gather_dedup(t, ids) * cot))(table)
     g_ref = jax.grad(lambda t: jnp.sum(jnp.take(t, ids, axis=0) * cot))(table)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
@@ -49,7 +50,7 @@ def test_backward_2d_ids():
 def test_under_jit_and_all_ids_equal():
     table = jnp.ones((10, 4))
     ids = jnp.zeros((32,), jnp.int32)     # all the same row
-    g = jax.jit(jax.grad(lambda t: jnp.sum(table_gather(t, ids) * 2.0)))(table)
+    g = jax.jit(jax.grad(lambda t: jnp.sum(table_gather_dedup(t, ids) * 2.0)))(table)
     expected = np.zeros((10, 4))
     expected[0] = 64.0                    # 32 duplicates × cotangent 2
     np.testing.assert_allclose(np.asarray(g), expected)
