@@ -80,11 +80,11 @@ class LongCTRDataLoader:
             n = len(idx)
             batch = {col: arr[idx] for col, arr in self.columns.items()}
             seq_lens = batch["seq_len"].astype(np.int64)
-            seqs = np.zeros((n, L), np.int64)
-            for i, (u, sl) in enumerate(zip(batch["user_index"], seq_lens)):
-                s = np.asarray(self.user_seqs[u])[:sl][-L:]  # keep last L
-                if len(s):
-                    seqs[i, L - len(s):] = s                 # pre-pad
+            # native collate: keep-last-L + pre-pad in C (numpy fallback)
+            from fuxictr_tpu.native import pad_sequences
+            seqs = pad_sequences(
+                [self.user_seqs[u] for u in batch["user_index"]],
+                seq_lens, L, pre_pad=True)
             mask = (seqs > 0).astype(np.float32)
             flat = np.hstack([seqs, batch["item_index"].reshape(-1, 1)])
             batch[ITEMS_KEY] = self._gather_items(flat.reshape(-1))

@@ -21,6 +21,7 @@ TPU-native differences:
 import logging
 import os
 import pickle
+import time
 from functools import partial
 
 import flax
@@ -368,24 +369,57 @@ class RankModel:
             logging.info("Load best model: %s", self.checkpoint)
             self.load_weights(self.checkpoint)
 
+    def _prefetched(self, data_generator, size=2):
+        """Double-buffered host→device transfer: device_put the next batches
+        while the current step runs (single-device path; the mesh path
+        places batches with explicit shardings instead)."""
+        import collections
+        import itertools
+        it = iter(data_generator)
+        queue = collections.deque()
+
+        def enqueue(n):
+            for b in itertools.islice(it, n):
+                # count valid rows on host — reading it later would force a
+                # device sync and break the transfer/compute overlap
+                n_valid = int(np.sum(np.asarray(b[SAMPLE_MASK_KEY]) > 0))
+                queue.append((jax.device_put(b), n_valid))
+
+        enqueue(size)
+        while queue:
+            yield queue.popleft()
+            enqueue(1)
+
     def train_epoch(self, data_generator):
         self._batch_index = 0
         k = int(self.kwargs.get("steps_per_call", 1) or 1)
         if k > 1:
             return self._train_epoch_scanned(data_generator, k)
+        if self.mesh is None:
+            data_generator = self._prefetched(data_generator)
+        else:
+            data_generator = ((b, None) for b in data_generator)
         pending_losses = []
-        for batch_index, batch in enumerate(data_generator):
+        window_start = time.perf_counter()
+        window_examples = 0
+        for batch_index, (batch, n_valid) in enumerate(data_generator):
             self._batch_index = batch_index
             self._total_steps += 1
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, loss = self._jit_train_step(
                 self.state, self._place_batch(batch), step_rng)
             pending_losses.append(loss)
+            window_examples += n_valid if n_valid is not None else \
+                int(np.asarray(batch[SAMPLE_MASK_KEY]).shape[0])
             if self._total_steps % self._eval_steps == 0:
                 train_loss = float(np.mean(jax.device_get(pending_losses)))
                 pending_losses = []
-                logging.info("Train loss: %.6f", train_loss)
+                dt = max(time.perf_counter() - window_start, 1e-9)
+                logging.info("Train loss: %.6f (%.0f examples/s)",
+                             train_loss, window_examples / dt)
                 self.eval_step()
+                window_start = time.perf_counter()
+                window_examples = 0
             if self._stop_training:
                 break
 

@@ -1,0 +1,135 @@
+"""Pallas TPU kernels for the sequence-attention hot path.
+
+``flash_target_attention`` computes softmax(q·kᵀ/scale) @ v for a single
+query per row (the LongCTR ESU attention over retrieved/lifelong
+sequences, e.g. SIM.py:163-166) with an online-softmax accumulation over
+sequence tiles: the [B, L] score matrix never hits HBM and k/v stream
+through VMEM exactly once. Mosaic on this chip rejects batched
+dot_general, so the per-row q·k and p·v contractions are expressed as
+VPU multiply-reduce over small tiles.
+
+Kernels are TPU-only; on other backends (CPU tests, virtual meshes) the
+wrapper falls back to the XLA implementation with identical numerics.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG_INF = -1.0e9
+_LANE = 128
+
+
+def _xla_target_attention(q, k, v, mask, scale):
+    scores = jnp.einsum("bd,bld->bl", q, k) / scale
+    if mask is not None:
+        scores = jnp.where(mask > 0, scores, _NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bl,bld->bd", attn, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                  m_ref, l_ref, acc_ref, *, n_l, scale):
+    """Grid (nB, nL); L sequential — scratch persists across L steps."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...].astype(jnp.float32)                  # [BB, D]
+    k_t = k_ref[...].astype(jnp.float32)                # [BB, BL, D]
+    v_t = v_ref[...].astype(jnp.float32)
+    msk = mask_ref[...]                                 # [BB, BL]
+
+    s = jnp.sum(q[:, None, :] * k_t, axis=-1) / scale   # [BB, BL]
+    s = jnp.where(msk > 0, s, _NEG_INF)
+    m_prev, l_prev, acc = m_ref[...], l_ref[...], acc_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)                              # [BB, BL]
+    corr = jnp.exp(m_prev - m_new)                      # [BB, 1]
+    m_ref[...] = m_new
+    l_ref[...] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc * corr + jnp.sum(p[:, :, None] * v_t, axis=1)
+
+    @pl.when(j == n_l - 1)
+    def _():
+        o_ref[...] = (acc_ref[...]
+                      / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, multiple, value=0.0):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "block_l",
+                                             "interpret"))
+def flash_target_attention(q, k, v, mask=None, block_b=64, block_l=64,
+                           interpret=False):
+    """softmax(q·kᵀ/√D) @ v with online softmax over sequence tiles.
+
+    q [B, D], k/v [B, L, D], mask [B, L] (1 = valid). Pads D to 128 lanes
+    and B/L to tile sizes; fully-masked rows return zeros.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, D = k.shape
+    scale = float(np.sqrt(D))
+    if mask is None:
+        mask = jnp.ones((B, L), jnp.float32)
+    mask = mask.astype(jnp.float32)
+
+    qp = _pad_to(q, 1, _LANE)
+    kp = _pad_to(_pad_to(k, 2, _LANE), 1, block_l)
+    vp = _pad_to(_pad_to(v, 2, _LANE), 1, block_l)
+    mp = _pad_to(mask, 1, block_l)                     # padded L → masked out
+    qp = _pad_to(qp, 0, block_b)
+    kp = _pad_to(kp, 0, block_b)
+    vp = _pad_to(vp, 0, block_b)
+    mp = _pad_to(mp, 0, block_b)
+    Bp, Lp, Dp = kp.shape
+    n_l = Lp // block_l
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, n_l=n_l, scale=scale),
+        grid=(Bp // block_b, n_l),
+        in_specs=[
+            pl.BlockSpec((block_b, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, block_l, Dp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((block_b, block_l, Dp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((block_b, block_l), lambda i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((block_b, Dp), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, Dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, 1), jnp.float32),     # running max
+            pltpu.VMEM((block_b, 1), jnp.float32),     # running denom
+            pltpu.VMEM((block_b, Dp), jnp.float32),    # running numerator
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, mp)
+    return out[:B, :D]
+
+
+def target_attention(q, k, v, mask=None, use_flash="auto"):
+    """Dispatch: Pallas flash kernel on TPU for long sequences, XLA
+    otherwise (identical numerics up to fp reassociation)."""
+    scale = float(np.sqrt(k.shape[-1]))
+    on_tpu = jax.default_backend() == "tpu"
+    L = k.shape[1]
+    if use_flash is True or (use_flash == "auto" and on_tpu and L >= 512):
+        return flash_target_attention(q, k, v, mask)
+    return _xla_target_attention(q, k, v, mask, scale)

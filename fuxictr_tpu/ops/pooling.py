@@ -7,6 +7,7 @@ embedding dim to infer the mask).
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -38,14 +39,16 @@ class MaskedSumPooling(nn.Module):
 
 
 class KMaxPooling(nn.Module):
-    """Top-k values along an axis, sorted descending (torch.topk parity)."""
+    """Top-k values along an axis, keeping their ORIGINAL order (reference
+    pooling.py:76-107: topk indices re-sorted by position, then gathered)."""
 
     k: int = 1
     axis: int = -1
 
     def __call__(self, x):
-        top = jnp.sort(x, axis=self.axis)
-        take = [slice(None)] * x.ndim
-        take[self.axis] = slice(x.shape[self.axis] - self.k, None)
-        top = top[tuple(take)]
-        return jnp.flip(top, axis=self.axis)
+        axis = self.axis % x.ndim
+        moved = jnp.moveaxis(x, axis, -1)
+        _, idx = jax.lax.top_k(moved, self.k)
+        idx = jnp.sort(idx, axis=-1)            # restore positional order
+        top = jnp.take_along_axis(moved, idx, axis=-1)
+        return jnp.moveaxis(top, -1, axis)

@@ -208,3 +208,12 @@ def test_parse_feature_encoder():
         [("pool", "sum"), ("linear", 16, False)]
     with pytest.raises(ValueError):
         parse_feature_encoder("__import__('os')")
+
+
+def test_kmax_pooling_preserves_positional_order():
+    """Reference KMaxPooling keeps the original order of the top-k values."""
+    from fuxictr_tpu.ops.pooling import KMaxPooling
+    x = jnp.asarray([[5.0, 1.0, 9.0, 3.0, 7.0]])
+    out = KMaxPooling(k=3, axis=-1)(x)
+    # top-3 values are 9, 7, 5 at positions 2, 4, 0 → positional order 5, 9, 7
+    np.testing.assert_array_equal(np.asarray(out), [[5.0, 9.0, 7.0]])
