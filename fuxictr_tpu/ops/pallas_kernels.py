@@ -76,7 +76,7 @@ def _pad_to(x, axis, multiple, value=0.0):
 
 @functools.partial(jax.jit, static_argnames=("block_b", "block_l",
                                              "interpret"))
-def flash_target_attention(q, k, v, mask=None, block_b=64, block_l=64,
+def flash_target_attention(q, k, v, mask=None, block_b=32, block_l=128,
                            interpret=False):
     """softmax(q·kᵀ/√D) @ v with online softmax over sequence tiles.
 
@@ -92,9 +92,12 @@ def flash_target_attention(q, k, v, mask=None, block_b=64, block_l=64,
         mask = jnp.ones((B, L), jnp.float32)
     mask = mask.astype(jnp.float32)
 
-    qp = _pad_to(q, 1, _LANE)
-    kp = _pad_to(_pad_to(k, 2, _LANE), 1, block_l)
-    vp = _pad_to(_pad_to(v, 2, _LANE), 1, block_l)
+    # D is NOT padded: a block dim equal to the full array dim is exempt
+    # from the 128-lane divisibility rule, and padding would duplicate k/v
+    # in HBM
+    qp = q
+    kp = _pad_to(k, 1, block_l)
+    vp = _pad_to(v, 1, block_l)
     mp = _pad_to(mask, 1, block_l)                     # padded L → masked out
     qp = _pad_to(qp, 0, block_b)
     kp = _pad_to(kp, 0, block_b)
@@ -124,12 +127,17 @@ def flash_target_attention(q, k, v, mask=None, block_b=64, block_l=64,
     return out[:B, :D]
 
 
-def target_attention(q, k, v, mask=None, use_flash="auto"):
-    """Dispatch: Pallas flash kernel on TPU for long sequences, XLA
-    otherwise (identical numerics up to fp reassociation)."""
+def target_attention(q, k, v, mask=None, use_flash=False):
+    """Dispatch between the Pallas flash kernel and the XLA path.
+
+    Measured (BENCHMARKS.md): at B=2048, L=2048, D=64 the XLA einsum path
+    runs 4.6 ms vs 17.4 ms for the kernel — this Mosaic version rejects
+    batched dot_general, forcing the per-row contractions onto the VPU,
+    so XLA's MXU batched matmul wins. The kernel stays available
+    (``use_flash=True``) for backends/shapes where the memory-streaming
+    formulation pays off; numerics match to ~1e-3.
+    """
     scale = float(np.sqrt(k.shape[-1]))
-    on_tpu = jax.default_backend() == "tpu"
-    L = k.shape[1]
-    if use_flash is True or (use_flash == "auto" and on_tpu and L >= 512):
+    if use_flash is True:
         return flash_target_attention(q, k, v, mask)
     return _xla_target_attention(q, k, v, mask, scale)

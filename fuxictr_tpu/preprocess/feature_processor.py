@@ -82,9 +82,12 @@ class FeatureProcessor:
         frames = []
         for f in file_names:
             if data_format == "csv":
-                df = pd.read_csv(f, sep=sep, dtype={
-                    k: (v if v != "Int64" else "Int64")
-                    for k, v in self.dtype_dict.items()}, nrows=n_rows)
+                kwargs = dict(sep=sep, dtype=dict(self.dtype_dict),
+                              nrows=n_rows)
+                try:     # multithreaded arrow parser (Criteo-scale reads)
+                    df = pd.read_csv(f, engine="pyarrow", **kwargs)
+                except (ValueError, TypeError):
+                    df = pd.read_csv(f, **kwargs)
             elif data_format == "parquet":
                 df = pd.read_parquet(f)
                 if n_rows:
