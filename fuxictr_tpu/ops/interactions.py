@@ -127,12 +127,15 @@ class CompressedInteractionNet(nn.Module):
         x0 = feature_emb                                    # [B, F, D]
         xi = x0
         for i, units in enumerate(self.cin_hidden_units):
-            # outer product over fields, compressed by a [H*F -> units] conv1x1
-            z = jnp.einsum("bhd,bfd->bhfd", xi, x0)
+            # outer product over fields (x0-major flattening, matching the
+            # reference einsum "bhd,bmd->bhmd" with X_0 first), compressed
+            # by a [F*H -> units] conv1x1
+            z = jnp.einsum("bhd,bfd->bhfd", x0, xi)
             z = z.reshape(z.shape[0], -1, z.shape[-1])       # [B, H*F, D]
             w = self.param(f"conv_{i}", xavier_normal(),
                            (z.shape[1], units))
-            xi = jnp.einsum("bkd,ku->bud", z, w)             # [B, units, D]
+            b = self.param(f"conv_bias_{i}", zeros_init, (units,))
+            xi = jnp.einsum("bkd,ku->bud", z, w) + b[None, :, None]
             pooled.append(jnp.sum(xi, axis=-1))              # [B, units]
         concat = jnp.concatenate(pooled, axis=-1)
         return nn.Dense(self.output_dim, kernel_init=xavier_normal(),
