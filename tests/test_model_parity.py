@@ -97,3 +97,92 @@ def test_deepfm_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_din_forward_parity(tmp_path):
+    """DIN on tiny_seq: sequence target-attention + share_embedding."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_din", "/root/reference/model_zoo/DIN/src/DIN.py")
+    ref_din_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_din_mod)
+    RefDIN = ref_din_mod.DIN
+    from fuxictr_tpu.models.zoo.sequence import DIN as OurDIN
+
+    seq_dir = "/root/reference/data/tiny_seq"
+    overrides = {"embedding_dim": EMB_DIM,
+                 "feature_specs": [{"name": "click_sequence",
+                                    "feature_encoder": None}]}
+    fm = FeatureMap("tiny_seq", seq_dir)
+    fm.load(f"{seq_dir}/feature_map.json", overrides)
+    ours = OurDIN(fm, embedding_dim=EMB_DIM, dnn_hidden_units=(16, 8),
+                  dnn_activations="relu", attention_hidden_units=(8,),
+                  attention_hidden_activations="relu",
+                  attention_dropout=0, net_dropout=0, batch_norm=False,
+                  din_target_field="adgroup_id",
+                  din_sequence_field="click_sequence",
+                  din_use_softmax=False, model_root=str(tmp_path))
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_seq", seq_dir)
+    ref_fm.load(f"{seq_dir}/feature_map.json", overrides)
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    ref = RefDIN(ref_fm, dnn_hidden_units=[16, 8], dnn_activations="ReLU",
+                 attention_hidden_units=[8],
+                 attention_hidden_activations="ReLU",
+                 attention_output_activation=None, attention_dropout=0,
+                 net_dropout=0, batch_norm=False,
+                 din_target_field="adgroup_id",
+                 din_sequence_field="click_sequence",
+                 din_use_softmax=False, **kwargs)
+    ref.eval()
+
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    layout = EmbeddingLayout(fm, EMB_DIM)
+    table = np.asarray(params["embedding"]["table_d4"])
+    with torch.no_grad():
+        for name, plan in layout.fields.items():
+            rows = table[plan["offset"]:plan["offset"]
+                         + plan["spec"]["vocab_size"]]
+            ref.embedding_layer.embedding_layers[name].weight.copy_(
+                torch.from_numpy(rows))
+        att = params["attention_0"]["attention_mlp"]
+        ref_att = ref.attention_layers[0].attention_layer.mlp
+        ref_att[0].weight.copy_(torch.from_numpy(
+            np.asarray(att["Dense_0"]["kernel"]).T))
+        ref_att[0].bias.copy_(torch.from_numpy(
+            np.asarray(att["Dense_0"]["bias"])))
+        ref_att[2].weight.copy_(torch.from_numpy(
+            np.asarray(att["Dense_1"]["kernel"]).T))
+        ref_att[2].bias.copy_(torch.from_numpy(
+            np.asarray(att["Dense_1"]["bias"])))
+        lins = [m for m in ref.dnn.mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1", "Dense_2"]):
+            lin.weight.copy_(torch.from_numpy(
+                np.asarray(params["dnn"][key]["kernel"]).T))
+            lin.bias.copy_(torch.from_numpy(
+                np.asarray(params["dnn"][key]["bias"])))
+
+    raw = np.load(f"{seq_dir}/train.npz", allow_pickle=True)
+    n = 32
+    batch_np = {}
+    for name in list(fm.features) + fm.labels:
+        arr = raw[name][:n]
+        if arr.dtype == object:
+            arr = np.stack(arr)
+        batch_np[name] = arr
+    batch_ours = dict(batch_np)
+    batch_ours["__mask__"] = np.ones(n, np.float32)
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    torch_batch = {c: torch.from_numpy(np.asarray(v, np.int64))
+                   if np.asarray(v).dtype.kind in "iu"
+                   else torch.from_numpy(np.asarray(v, np.float32))
+                   for c, v in batch_np.items()}
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
