@@ -19,23 +19,30 @@ def split_train_test(train_ddf=None, valid_ddf=None, test_ddf=None,
     """Split a train frame; sizes <1 are fractions of the total."""
     num_samples = len(train_ddf)
     train_size = num_samples
+    sequential = split_type != "random"
     instance_ids = np.arange(num_samples)
-    if split_type == "random":
+    if not sequential:
         np.random.shuffle(instance_ids)
+
+    def take(lo, hi):
+        # sequential split = contiguous slice (cheap view; fancy-indexing
+        # arrow-backed frames costs ~100x more)
+        if sequential:
+            return train_ddf.iloc[lo:hi].reset_index(drop=True)
+        return train_ddf.iloc[instance_ids[lo:hi]].reset_index(drop=True)
+
     if test_size > 0:
         if test_size < 1:
             test_size = int(num_samples * test_size)
         train_size -= test_size
-        test_ddf = train_ddf.iloc[instance_ids[train_size:]].reset_index(drop=True)
-        instance_ids = instance_ids[:train_size]
+        test_ddf = take(train_size, train_size + test_size)
     if valid_size > 0:
         if valid_size < 1:
             valid_size = int(num_samples * valid_size)
         train_size -= valid_size
-        valid_ddf = train_ddf.iloc[instance_ids[train_size:]].reset_index(drop=True)
-        instance_ids = instance_ids[:train_size]
+        valid_ddf = take(train_size, train_size + valid_size)
     if valid_size > 0 or test_size > 0:
-        train_ddf = train_ddf.iloc[instance_ids].reset_index(drop=True)
+        train_ddf = take(0, train_size)
     return train_ddf, valid_ddf, test_ddf
 
 
@@ -49,10 +56,19 @@ def transform_block(feature_encoder, df_block, filename):
 
 def transform(feature_encoder, df, filename, block_size=0):
     if block_size > 0:
-        for block_id, idx in enumerate(range(0, len(df), block_size)):
-            transform_block(
-                feature_encoder, df.iloc[idx:idx + block_size],
-                "{}/part_{:05d}.parquet".format(filename, block_id))
+        # thread pool instead of the reference's fork-per-block mp.Pool:
+        # the encode/write path is arrow-native and releases the GIL
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(transform_block, feature_encoder,
+                            df.iloc[idx:idx + block_size],
+                            "{}/part_{:05d}.parquet".format(filename,
+                                                            block_id))
+                for block_id, idx in enumerate(
+                    range(0, len(df), block_size))]
+            for f in futures:
+                f.result()
     else:
         transform_block(feature_encoder, df, filename + ".parquet")
 

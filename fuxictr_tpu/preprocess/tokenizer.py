@@ -115,9 +115,29 @@ class Tokenizer:
         return self.encode_category(series)
 
     def encode_category(self, series):
+        """Vectorized dict lookup: C-hash-table categorical codes instead of
+        a Python-level map (the reference maps per element; at Criteo scale
+        that dominates the transform)."""
         series = _to_pandas(series)
         oov = self.vocab["__OOV__"]
-        return series.map(self.vocab).fillna(oov).astype(np.int64).to_numpy()
+        tokens = list(self.vocab)   # includes __PAD__/__OOV__ (dict parity)
+        if not tokens:
+            return np.full(len(series), oov, np.int64)
+        ids = np.fromiter((self.vocab[t] for t in tokens), np.int64,
+                          len(tokens))
+        try:                       # native hash join on arrow arrays
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            arr = pa.Array.from_pandas(series)
+            pos = pc.index_in(arr, value_set=pa.array(
+                tokens, type=arr.type)).to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(pos) if pos.dtype.kind == "f" else pos >= 0
+            pos = np.nan_to_num(pos, nan=0).astype(np.int64)
+            return np.where(valid, ids[pos], oov).astype(np.int64)
+        except Exception:
+            codes = pd.Categorical(series, categories=tokens).codes
+            out = np.where(codes >= 0, ids[np.maximum(codes, 0)], oov)
+            return out.astype(np.int64)
 
     def encode_sequence(self, series):
         """Encode splitter-joined strings to [N, max_len] id lists with
