@@ -575,13 +575,33 @@ class RankModel:
         self.state = self.state.replace(
             params=payload["params"], model_state=payload["model_state"])
 
-    def save_checkpoint(self, path):
-        """Full train state (params + opt + step) for mid-run resume."""
+    def save_checkpoint(self, path, use_orbax=False):
+        """Full train state (params + opt + step) for mid-run resume.
+
+        ``use_orbax=True`` writes an orbax checkpoint directory: sharded
+        arrays are saved shard-by-shard without gathering to one host —
+        the multi-chip path (the pickle default gathers via device_get).
+        """
+        if use_orbax:
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(path), self.state, force=True)
+            ckptr.wait_until_finished()
+            return
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as fd:
             pickle.dump(jax.device_get(self.state), fd)
 
-    def load_checkpoint(self, path):
+    def load_checkpoint(self, path, use_orbax=False):
+        if use_orbax:
+            import orbax.checkpoint as ocp
+            if self.state is None:   # need the target structure/shardings
+                self.init_params()
+            ckptr = ocp.StandardCheckpointer()
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, self.state)
+            self.state = ckptr.restore(os.path.abspath(path), abstract)
+            return
         with open(path, "rb") as fd:
             self.state = pickle.load(fd)
 

@@ -161,3 +161,28 @@ def test_embedding_type_input_end_to_end(tmp_path):
     params["data_format"] = "parquet"
     result = run_expid(CFG, "DNN_test", params=params)
     assert 0.0 < result["valid"]["AUC"] <= 1.0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax sharded-checkpoint save/restore preserves the train state."""
+    from fuxictr_tpu.models.zoo.ranking import DNN
+    from fuxictr_tpu.utils.synthetic import (make_synthetic_batch,
+                                             make_synthetic_feature_map)
+    import jax
+    fm = make_synthetic_feature_map(num_categorical=3, num_numeric=1,
+                                    vocab_size=16, embedding_dim=4)
+    m = DNN(fm, embedding_dim=4, hidden_units=(8,), model_root=str(tmp_path))
+    m.init_params()
+    batch = jax.device_put(make_synthetic_batch(fm, 8))
+    m.state, _ = m._make_train_step()(m.state, batch, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "orbax_ckpt")
+    m.save_checkpoint(ckpt, use_orbax=True)
+
+    m2 = DNN(fm, embedding_dim=4, hidden_units=(8,),
+             model_root=str(tmp_path))
+    m2.load_checkpoint(ckpt, use_orbax=True)
+    assert int(m2.state.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(m.state.params)),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(m2.state.params))):
+        np.testing.assert_allclose(a, b)
