@@ -186,3 +186,75 @@ def test_din_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dcnv2_forward_parity(tmp_path):
+    """DCNv2-parallel (the flagship bench model) forward parity."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_dcnv2", "/root/reference/model_zoo/DCNv2/src/DCNv2.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    RefDCNv2 = mod.DCNv2
+    from fuxictr_tpu.models.zoo.ranking import DCNv2 as OurDCNv2
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    ours = OurDCNv2(fm, embedding_dim=EMB_DIM, model_structure="parallel",
+                    num_cross_layers=3, parallel_dnn_hidden_units=(16, 8),
+                    stacked_dnn_hidden_units=(16,), dnn_activations="relu",
+                    net_dropout=0, batch_norm=False,
+                    model_root=str(tmp_path))
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    ref = RefDCNv2(ref_fm, model_structure="parallel",
+                   use_low_rank_mixture=False, num_cross_layers=3,
+                   parallel_dnn_hidden_units=[16, 8],
+                   stacked_dnn_hidden_units=[16], dnn_activations="ReLU",
+                   net_dropout=0, batch_norm=False, **kwargs)
+    ref.eval()
+
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    layout = EmbeddingLayout(fm, EMB_DIM)
+    table = np.asarray(params["embedding"]["table_d4"])
+    with torch.no_grad():
+        emb_layers = ref.embedding_layer.embedding_layer.embedding_layers
+        for name, plan in layout.fields.items():
+            rows = table[plan["offset"]:plan["offset"]
+                         + plan["spec"]["vocab_size"]]
+            emb_layers[name].weight.copy_(torch.from_numpy(rows))
+        for i in range(3):
+            ref.crossnet.cross_layers[i].weight.copy_(torch.from_numpy(
+                np.asarray(params["crossnet"][f"cross_{i}"]["kernel"]).T))
+            ref.crossnet.cross_layers[i].bias.copy_(torch.from_numpy(
+                np.asarray(params["crossnet"][f"cross_{i}"]["bias"])))
+        lins = [m for m in ref.parallel_dnn.mlp
+                if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1"]):
+            lin.weight.copy_(torch.from_numpy(
+                np.asarray(params["parallel_dnn"][key]["kernel"]).T))
+            lin.bias.copy_(torch.from_numpy(
+                np.asarray(params["parallel_dnn"][key]["bias"])))
+        ref.fc.weight.copy_(torch.from_numpy(
+            np.asarray(params["fc"]["kernel"]).T))
+        ref.fc.bias.copy_(torch.from_numpy(np.asarray(params["fc"]["bias"])))
+
+    import pandas as pd
+    df = pd.read_parquet(f"{DATA_DIR}/train.parquet").head(32)
+    batch_np = {c: df[c].to_numpy() for c in df.columns}
+    batch_ours = dict(batch_np)
+    batch_ours["__mask__"] = np.ones(len(df), np.float32)
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    torch_batch = {c: torch.from_numpy(np.asarray(v)) for c, v in
+                   batch_np.items()}
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
