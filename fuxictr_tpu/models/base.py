@@ -356,11 +356,29 @@ class RankModel:
         self._epoch_index = 0
         if self._eval_steps is None:
             self._eval_steps = self._steps_per_epoch
+        profile_dir = self.kwargs.get("profile_dir")
+        if profile_dir:
+            # XLA trace of the first training epoch (the reference has no
+            # profiler at all — SURVEY §5); view with tensorboard/xprof
+            try:
+                jax.profiler.start_trace(profile_dir)
+                self._profiling = True
+                logging.info("JAX profiler tracing to %s", profile_dir)
+            except Exception as exc:
+                logging.warning("profiler unavailable: %s", exc)
+                self._profiling = False
+        else:
+            self._profiling = False
         logging.info("Start training: %d batches/epoch", self._steps_per_epoch)
         logging.info("************ Epoch=1 start ************")
         for epoch in range(epochs):
             self._epoch_index = epoch
             self.train_epoch(data_generator)
+            if self._profiling:
+                try:
+                    jax.profiler.stop_trace()
+                finally:
+                    self._profiling = False
             if self._stop_training:
                 break
             logging.info("************ Epoch=%d end ************", epoch + 1)

@@ -186,3 +186,16 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(
                         jax.device_get(m2.state.params))):
         np.testing.assert_allclose(a, b)
+
+
+def test_profiler_trace(tmp_path):
+    """profile_dir captures an XLA trace of the first epoch."""
+    params = load_config(CFG, "DNN_test")
+    params.update(model_root=str(tmp_path),
+                  profile_dir=str(tmp_path / "trace"))
+    run_expid(CFG, "DNN_test", params=params)
+    import glob
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*.trace.json*"),
+                     recursive=True) or \
+        glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
+                  recursive=True)
