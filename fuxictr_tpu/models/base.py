@@ -125,6 +125,7 @@ class RankModel:
         self._net_reg = get_regularizer(net_regularizer)
         self._reduce_lr_on_plateau = reduce_lr_on_plateau
         self._verbose = kwargs.get("verbose", 1)
+        self._max_len = kwargs.get("max_len", 50)   # LongCTR batch layout
         self.validation_metrics = kwargs.get("metrics", ["AUC"])
         self.model_dir = os.path.join(kwargs.get("model_root", "./checkpoints"),
                                       feature_map.dataset_id)
@@ -172,6 +173,21 @@ class RankModel:
         for label in self.feature_map.labels:
             batch[label] = np.zeros((batch_size,), np.float32)
         batch[SAMPLE_MASK_KEY] = np.ones((batch_size,), np.float32)
+        if getattr(self, "_longctr", False):
+            # LongCTR batch layout (data/longctr_loader.py): item-source
+            # features live in a flat [B*(max_len+1)] side-table dict
+            L = int(getattr(self, "_max_len", 50))
+            items = {}
+            for name, spec in self.feature_map.features.items():
+                if spec.get("source") == "item" and name in batch:
+                    items[name] = np.zeros((batch_size * (L + 1),) +
+                                           batch[name].shape[1:],
+                                           batch[name].dtype)
+                    del batch[name]
+            from fuxictr_tpu.data.longctr_loader import (ITEMS_KEY,
+                                                         SEQ_MASK_KEY)
+            batch[ITEMS_KEY] = items
+            batch[SEQ_MASK_KEY] = np.ones((batch_size, L), np.float32)
         return batch
 
     def init_params(self):

@@ -55,6 +55,9 @@ class _LongCTRBase(nn.Module):
             out = emb_layer(ctx, flatten_emb=True)
             emb_list.append(out)
         item_dim = self._item_info_dim()
+        # if the loader deduped the item rows, the items dict carries an
+        # INVERSE_KEY and embedding_dict expands through the fused
+        # single-scatter VJP (ops/embedding.py:table_gather_expand)
         item_emb = emb_layer(batch[ITEMS_KEY], flatten_emb=True)
         B = batch[SEQ_MASK_KEY].shape[0]
         item_emb = item_emb.reshape(B, -1, item_dim)

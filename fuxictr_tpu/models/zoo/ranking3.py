@@ -398,7 +398,7 @@ class _MaskBlock(nn.Module):
         mask = _dense(self.hidden_dim, "mask_2")(mask)
         h = _dense(self.output_dim, "hidden", use_bias=False)(v_hidden * mask)
         if self.layer_norm:
-            h = nn.LayerNorm()(h)
+            h = nn.LayerNorm(epsilon=1e-5)(h)
         h = Activation(self.hidden_activation,
                        hidden_dim=self.output_dim)(h, train=train)
         if self.dropout_rate > 0:
@@ -427,7 +427,7 @@ class _MaskNetNet(nn.Module):
         emb = FeatureEmbedding(self.feature_map, self.embedding_dim,
                                name="embedding")(batch)      # [B, F, D]
         if self.emb_layernorm:
-            emb = nn.LayerNorm(name="emb_norm")(emb)
+            emb = nn.LayerNorm(epsilon=1e-5, name="emb_norm")(emb)
         v_emb = _flat(emb)
         acts = self.dnn_hidden_activations
         if not isinstance(acts, (list, tuple)):

@@ -390,7 +390,7 @@ class _InterHAtNet(nn.Module):
         if self.use_residual:
             ffn = ffn + X1
         if self.layer_norm:
-            ffn = nn.LayerNorm(name="ffn_ln")(ffn)
+            ffn = nn.LayerNorm(epsilon=1e-5, name="ffn_ln")(ffn)
         X1 = ffn
         X_p = X1
         agg_u = []
@@ -797,8 +797,8 @@ class _EulerInteractionLayer(nn.Module):
         o_r = rf + lam_t * jnp.cos(theta_t)
         o_p = pf + lam_t * jnp.sin(theta_t)
         if self.apply_norm:
-            o_r = nn.LayerNorm(name="norm_r")(o_r)
-            o_p = nn.LayerNorm(name="norm_p")(o_p)
+            o_r = nn.LayerNorm(epsilon=1e-5, name="norm_r")(o_r)
+            o_p = nn.LayerNorm(epsilon=1e-5, name="norm_p")(o_p)
         return o_r, o_p
 
 
@@ -867,7 +867,7 @@ class _WuKongLayer(nn.Module):
                                    x.transpose(0, 2, 1) @ proj)
         else:
             fm_matrix = jnp.einsum("bnd,bmd->bnm", x, x)
-        fm_flat = nn.LayerNorm(name="fm_ln")(_flat(fm_matrix))
+        fm_flat = nn.LayerNorm(epsilon=1e-5, name="fm_ln")(_flat(fm_matrix))
         fmb = MLP_Block(hidden_units=tuple(self.fmb_mlp_units),
                         hidden_activations=self.fmb_mlp_activations,
                         output_dim=self.fmb_features * d,
@@ -886,7 +886,7 @@ class _WuKongLayer(nn.Module):
             res = x
         out = out + res
         if self.layer_norm:
-            out = nn.LayerNorm(name="ln")(out)
+            out = nn.LayerNorm(epsilon=1e-5, name="ln")(out)
         return out
 
 

@@ -78,7 +78,7 @@ class _DMINNet(nn.Module):
             out = nn.Dropout(self.net_dropout, deterministic=not train)(out)
         s = out + x
         if self.layer_norm:
-            s = nn.LayerNorm(name=f"refiner_ln_{idx}")(s)
+            s = nn.LayerNorm(epsilon=1e-5, name=f"refiner_ln_{idx}")(s)
         h = _dense(D, f"refiner_ffn2_{idx}")(
             jax.nn.relu(_dense(2 * D, f"refiner_ffn1_{idx}")(s)))
         return h + s
@@ -147,7 +147,7 @@ class _DMINNet(nn.Module):
                                    deterministic=not train)(s)
                 s = s + refined
                 if self.layer_norm:
-                    s = nn.LayerNorm(name=f"mie_ln_{i}_{h}")(s)
+                    s = nn.LayerNorm(epsilon=1e-5, name=f"mie_ln_{i}_{h}")(s)
                 head_out = _dense(D, f"mie_ffn2_{i}_{h}")(
                     jax.nn.relu(_dense(2 * D, f"mie_ffn1_{i}_{h}")(s))) + s
                 concat_emb.append(self._target_attention(

@@ -34,6 +34,7 @@ def _ensure_built():
         lib.pad_sequences_i64.restype = None
         lib.take_rows_i64.restype = None
         lib.take_rows_f32.restype = None
+        lib.unique_inverse_i64.restype = ctypes.c_int64
         _LIB = lib
     except OSError:
         _LIB = False
@@ -98,3 +99,28 @@ def take_rows(table, ids):
                           ctypes.c_int64(table.shape[1]),
                           _ptr(out, ctypes.c_float))
     return out
+
+
+def unique_inverse(ids):
+    """(uniq, inv) such that uniq[inv] == ids, uniq in first-occurrence
+    order — a linear-pass hash dedup (np.unique sorts, ~5-10x slower on
+    the LongCTR collate path). Falls back to np.unique."""
+    ids = np.ascontiguousarray(ids, np.int64)
+    lib = _ensure_built()
+    if not lib:
+        uniq, inv = np.unique(ids, return_inverse=True)
+        return uniq, inv.astype(np.int32)
+    n = len(ids)
+    ht_size = 1
+    while ht_size < 2 * max(n, 1):
+        ht_size *= 2
+    ht_keys = np.full(ht_size, -1, np.int64)
+    ht_vals = np.empty(ht_size, np.int32)
+    uniq = np.empty(n, np.int64)
+    inv = np.empty(n, np.int32)
+    count = lib.unique_inverse_i64(
+        _ptr(ids, ctypes.c_int64), ctypes.c_int64(n),
+        _ptr(uniq, ctypes.c_int64), _ptr(inv, ctypes.c_int32),
+        _ptr(ht_keys, ctypes.c_int64), _ptr(ht_vals, ctypes.c_int32),
+        ctypes.c_int64(ht_size))
+    return uniq[:count], inv

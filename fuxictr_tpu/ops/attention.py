@@ -88,7 +88,7 @@ class MultiHeadSelfAttention(nn.Module):
                                kernel_init=xavier_normal(), name="W_res")(x)
             out = out + res
         if self.layer_norm:
-            out = nn.LayerNorm()(out)
+            out = nn.LayerNorm(epsilon=1e-5)(out)  # torch nn.LayerNorm eps
         return jax.nn.relu(out)
 
 
@@ -188,11 +188,11 @@ class TransformerEncoderLayer(nn.Module):
         out = dense("W_o", self.model_dim)(_merge_heads(out))
         if self.dropout_rate > 0:
             out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
-        x = nn.LayerNorm()(x + out)
+        x = nn.LayerNorm(epsilon=1e-5)(x + out)
         if self.use_ffn:
             h = jax.nn.relu(dense("ffn_1", self.ff_dim)(x))
             h = dense("ffn_2", self.model_dim)(h)
             if self.dropout_rate > 0:
                 h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
-            x = nn.LayerNorm()(x + h)
+            x = nn.LayerNorm(epsilon=1e-5)(x + h)
         return x

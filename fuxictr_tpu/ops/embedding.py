@@ -33,6 +33,9 @@ from fuxictr_tpu.config import not_in_whitelist
 from fuxictr_tpu.ops.common import get_initializer, xavier_normal
 from fuxictr_tpu.ops.pooling import masked_average_pool, masked_sum_pool
 
+# batch-dict key carrying the dedup inverse index (data/longctr_loader.py)
+INVERSE_KEY = "__item_inverse__"
+
 
 # ------------------------------------------------------------------ layout
 class EmbeddingLayout:
@@ -143,6 +146,37 @@ def table_gather(table, ids):
     the default stays on the autodiff path.
     """
     return jnp.take(table, ids, axis=0)
+
+
+@jax.custom_vjp
+def table_gather_expand(table, ids, inv):
+    """Deduped lookup ``table[ids][inv]`` with a single-scatter backward.
+
+    On v5e, BOTH gather and scatter per-row cost grow with the table size
+    (measured, BENCHMARKS.md: 1M-row scatter-add is 142ms into a 2.6M-row
+    table but 26.6ms into a 64k temp; 64k unique rows into the 2.6M table
+    is 19.9ms).  So the forward gathers only the few unique rows (``ids``,
+    bucket-padded by the loader) from the big table and expands through the
+    small temp, and the backward segment-sums [len(inv)] rows into the
+    temp, then scatters the unique rows into the table — ~4x faster than
+    the single duplicated scatter the plain autodiff path issues.
+    """
+    return jnp.take(jnp.take(table, ids, axis=0), inv, axis=0)
+
+
+def _tge_fwd(table, ids, inv):
+    out = jnp.take(jnp.take(table, ids, axis=0), inv, axis=0)
+    return out, (table, ids, inv)
+
+
+def _tge_bwd(res, g):
+    table, ids, inv = res
+    seg = jnp.zeros((ids.shape[0],) + g.shape[1:], g.dtype).at[inv].add(g)
+    grad = jnp.zeros_like(table).at[ids].add(seg.astype(table.dtype))
+    return grad, None, None
+
+
+table_gather_expand.defvjp(_tge_fwd, _tge_bwd)
 
 
 @jax.custom_vjp
@@ -291,10 +325,14 @@ class FeatureEmbedding(nn.Module):
         return entry
 
     # ------------------------------------------------------------- lookups
-    def _lookup_fused(self, batch, plan, name):
+    def _lookup_fused(self, batch, plan, name, inv=None):
         table = self.tables[plan["dim"]]
         ids = jnp.asarray(batch[name]).astype(jnp.int32)
-        rows = table_gather(table, ids + plan["offset"])
+        if inv is None:
+            rows = table_gather(table, ids + plan["offset"])
+        else:   # loader-deduped dict: ids are unique, inv expands them
+            rows = table_gather_expand(table, ids + plan["offset"], inv)
+            ids = jnp.take(ids, inv, axis=0)
         pad = plan["padding_idx"]
         if pad >= 0:
             rows = rows * (ids != pad)[..., None].astype(rows.dtype)
@@ -330,6 +368,11 @@ class FeatureEmbedding(nn.Module):
                        train=False):
         """OrderedDict of per-field embeddings: [B, D] or [B, L, D]."""
         out = OrderedDict()
+        # loader-deduped dicts (data/longctr_loader.py) carry unique rows +
+        # an inverse index; every field expands back to the flat layout
+        inv = batch.get(INVERSE_KEY)
+        if inv is not None:
+            inv = jnp.asarray(inv)
         for name, plan in self.layout.fields.items():
             spec = plan["spec"]
             if name not in batch:   # partial dicts (e.g. LongCTR item tables)
@@ -343,14 +386,20 @@ class FeatureEmbedding(nn.Module):
                 w = self.numeric_ws[plan["dim"]][plan["numeric_index"]]
                 x = batch[name].astype(jnp.float32).reshape(-1, 1)
                 emb = x * w[None, :]
+                if inv is not None:
+                    emb = jnp.take(emb, inv, axis=0)
             elif plan["type"] == "embedding":
                 emb = batch[name].astype(jnp.float32)
                 if name in self.projections and name not in self.encoders:
                     emb = self.projections[name](emb)
+                if inv is not None:
+                    emb = jnp.take(emb, inv, axis=0)
             elif plan.get("pretrained"):
                 emb = self._lookup_pretrained(batch, plan, name)
+                if inv is not None:
+                    emb = jnp.take(emb, inv, axis=0)
             else:
-                emb = self._lookup_fused(batch, plan, name)
+                emb = self._lookup_fused(batch, plan, name, inv=inv)
             if plan["type"] == "sequence":
                 mask = batch[name] != max(plan["padding_idx"], 0)
                 emb = self._encode_sequence(name, emb, mask)

@@ -21,7 +21,7 @@ RANKING_EXPIDS = [
     "GDCN_test", "GDCNP_test", "EDCN_test", "CCPM_test", "FiBiNET_test",
     "PPNet_test", "APG_DeepFM_test", "APG_DCNv2_test",
     "DIN_test", "DIEN_test", "BST_test", "TransAct_test", "DMIN_test",
-    "DMR_test", "MMoE_test", "PLE_test",
+    "DMR_test", "MMoE_test", "PLE_test", "SIM_test", "TWIN_test",
 ]
 
 

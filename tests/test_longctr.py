@@ -84,9 +84,45 @@ def test_loader_batch_shapes(longctr_data):
         nz = np.nonzero(row)[0]
         if len(nz):
             assert (row[nz[0]:] == 1).all()
+    # dedup layout: unique rows + inverse reconstructs the flat layout;
     # target item occupies the last slot of each item row
-    items = b[ITEMS_KEY]["item_id"].reshape(16, MAX_LEN + 1)
+    from fuxictr_tpu.data.longctr_loader import INVERSE_KEY
+    inv = b[ITEMS_KEY][INVERSE_KEY]
+    items = b[ITEMS_KEY]["item_id"][inv].reshape(16, MAX_LEN + 1)
     np.testing.assert_array_equal(items[:, -1], b["item_index"][:16])
+    # unique ids really are unique (ignoring the 0-padding tail)
+    uniq = b[ITEMS_KEY]["item_id"]
+    nz = uniq[uniq > 0]
+    assert len(np.unique(nz)) == len(nz)
+
+
+def test_loader_dedup_parity(longctr_data):
+    """dedup_items=True must be a pure layout change: identical model
+    predictions to the duplicated layout."""
+    from fuxictr_tpu.data.longctr_loader import INVERSE_KEY
+    fm, root = longctr_data
+    b_dedup = next(iter(_loader(fm, root)))
+    loader_plain = LongCTRDataLoader(
+        fm, str(root / "train.parquet"), batch_size=16, shuffle=False,
+        user_info=str(root / "user_info.parquet"),
+        item_info=str(root / "item_info.parquet"), max_len=MAX_LEN,
+        dedup_items=False)
+    b_plain = next(iter(loader_plain))
+    assert INVERSE_KEY not in b_plain[ITEMS_KEY]
+    inv = b_dedup[ITEMS_KEY][INVERSE_KEY]
+    for col in b_plain[ITEMS_KEY]:
+        np.testing.assert_array_equal(
+            b_dedup[ITEMS_KEY][col][inv], b_plain[ITEMS_KEY][col])
+    model = MODEL_REGISTRY["SIM"](
+        fm, model_id="SIM_dedup", embedding_dim=8, attention_dim=8,
+        dnn_hidden_units=(16,), topk=5, short_seq_len=4,
+        model_root="/tmp/fx_longctr")
+    model._example_batch = lambda batch_size=2: b_dedup
+    model.init_params()
+    predict = model._make_predict_step()
+    y1 = np.asarray(predict(model.state, jax.device_put(b_dedup)))
+    y2 = np.asarray(predict(model.state, jax.device_put(b_plain)))
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
 
 
 def test_loader_pads_last_batch(longctr_data):

@@ -347,3 +347,154 @@ def test_mmoe_forward_parity(tmp_path):
                          out["conv_pred"].numpy().reshape(-1)], axis=1)
     np.testing.assert_allclose(np.asarray(pred), ref_pred,
                                rtol=1e-4, atol=1e-5)
+
+
+def _fixture_batch(n=32):
+    import pandas as pd
+    df = pd.read_parquet(f"{DATA_DIR}/train.parquet").head(n)
+    batch_np = {c: df[c].to_numpy() for c in df.columns}
+    batch_ours = dict(batch_np, __mask__=np.ones(len(df), np.float32))
+    torch_batch = {c: torch.from_numpy(np.asarray(v)) for c, v in
+                   batch_np.items()}
+    return batch_ours, torch_batch
+
+
+def _copy_fused_table(params, ref, fm, dim, key="embedding"):
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    layout = EmbeddingLayout(fm, dim)
+    table = np.asarray(params[key][f"table_d{dim}"])
+    emb_layers = ref.embedding_layer.embedding_layer.embedding_layers
+    for name, plan in layout.fields.items():
+        rows = table[plan["offset"]:plan["offset"]
+                     + plan["spec"]["vocab_size"]]
+        emb_layers[name].weight.copy_(torch.from_numpy(rows))
+
+
+def _copy_lr(params, ref_lr, fm, key):
+    """Copy our dim-1 fused LR table into the reference LogisticRegression."""
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    lr_layout = EmbeddingLayout(fm, 1, use_pretrain=False, use_sharing=False,
+                                force_dim=1)
+    lr_table = np.asarray(params[key]["embedding"]["table_d1"])
+    lr_emb = ref_lr.embedding_layer.embedding_layer.embedding_layers
+    for name, plan in lr_layout.fields.items():
+        rows = lr_table[plan["offset"]:plan["offset"]
+                        + plan["spec"]["vocab_size"]]
+        lr_emb[name].weight.copy_(torch.from_numpy(rows))
+
+
+def _copy_mlp(params, ref_mlp, key, n_dense):
+    lins = [m for m in ref_mlp.mlp if isinstance(m, torch.nn.Linear)]
+    for lin, i in zip(lins, range(n_dense)):
+        lin.weight.copy_(torch.from_numpy(
+            np.asarray(params[key][f"Dense_{i}"]["kernel"]).T))
+        lin.bias.copy_(torch.from_numpy(
+            np.asarray(params[key][f"Dense_{i}"]["bias"])))
+
+
+def test_xdeepfm_forward_parity(tmp_path):
+    """xDeepFM forward parity: fused embedding + LR + CIN + DNN (the CIN
+    x0-major flattening and conv bias are the tricky bits)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_xdeepfm", "/root/reference/model_zoo/xDeepFM/src/xDeepFM.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking import xDeepFM as OurXDeepFM
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    ours = OurXDeepFM(fm, embedding_dim=EMB_DIM, dnn_hidden_units=(16, 8),
+                      dnn_activations="relu", cin_hidden_units=(7, 5),
+                      net_dropout=0, batch_norm=False,
+                      model_root=str(tmp_path))
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    kwargs.pop("hidden_units")
+    ref = mod.xDeepFM(ref_fm, dnn_hidden_units=[16, 8],
+                      cin_hidden_units=[7, 5], **kwargs)
+    ref.eval()
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        _copy_lr(params, ref.lr_layer, fm, "embedding_lr")
+        for i in range(2):
+            w = np.asarray(params["cin"][f"conv_{i}"])        # [in, out]
+            ref.cin.cin_layer[f"layer_{i+1}"].weight.copy_(
+                torch.from_numpy(w.T[:, :, None]))            # [out, in, 1]
+            ref.cin.cin_layer[f"layer_{i+1}"].bias.copy_(
+                torch.from_numpy(np.asarray(params["cin"][f"conv_bias_{i}"])))
+        ref.cin.fc.weight.copy_(torch.from_numpy(
+            np.asarray(params["cin"]["fc"]["kernel"]).T))
+        ref.cin.fc.bias.copy_(torch.from_numpy(
+            np.asarray(params["cin"]["fc"]["bias"])))
+        _copy_mlp(params, ref.dnn, "dnn", 3)
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_autoint_forward_parity(tmp_path):
+    """AutoInt forward parity with the hard options on: 2 heads, scaling,
+    residual projection (input_dim != attention_dim), LayerNorm, wide."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_autoint", "/root/reference/model_zoo/AutoInt/src/AutoInt.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking import AutoInt as OurAutoInt
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    ours = OurAutoInt(fm, embedding_dim=EMB_DIM, dnn_hidden_units=(16, 8),
+                      dnn_activations="relu", attention_layers=2,
+                      num_heads=2, attention_dim=8, use_residual=True,
+                      use_scale=True, layer_norm=True, use_wide=True,
+                      net_dropout=0, batch_norm=False,
+                      model_root=str(tmp_path))
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    kwargs.pop("hidden_units")
+    kwargs.pop("hidden_activations")
+    ref = mod.AutoInt(ref_fm, dnn_hidden_units=[16, 8],
+                      dnn_activations="ReLU", attention_layers=2,
+                      num_heads=2, attention_dim=8, use_residual=True,
+                      use_scale=True, layer_norm=True, use_wide=True,
+                      **kwargs)
+    ref.eval()
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        _copy_lr(params, ref.lr_layer, fm, "embedding_lr")
+        for i, att in enumerate(ref.self_attention):
+            p = params[f"self_attention_{i}"]
+            for wn in ("W_q", "W_k", "W_v", "W_res"):
+                if wn in p:
+                    getattr(att, wn).weight.copy_(torch.from_numpy(
+                        np.asarray(p[wn]["kernel"]).T))
+            att.layer_norm.weight.copy_(torch.from_numpy(
+                np.asarray(p["LayerNorm_0"]["scale"])))
+            att.layer_norm.bias.copy_(torch.from_numpy(
+                np.asarray(p["LayerNorm_0"]["bias"])))
+        ref.fc.weight.copy_(torch.from_numpy(
+            np.asarray(params["attn_fc"]["kernel"]).T))
+        ref.fc.bias.copy_(torch.from_numpy(
+            np.asarray(params["attn_fc"]["bias"])))
+        _copy_mlp(params, ref.dnn, "dnn", 3)
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)

@@ -49,3 +49,27 @@ def test_take_rows():
         ids = rng.integers(0, 50, 200)
         np.testing.assert_array_equal(native.take_rows(table, ids),
                                       table[ids])
+
+
+def test_unique_inverse_matches_np_unique():
+    from fuxictr_tpu.native import unique_inverse
+    rng = np.random.default_rng(3)
+    for n, hi in [(0, 10), (1, 5), (1000, 37), (10000, 100000)]:
+        ids = rng.integers(0, hi, n)
+        uniq, inv = unique_inverse(ids)
+        assert uniq.dtype == np.int64 and inv.dtype == np.int32
+        np.testing.assert_array_equal(uniq[inv] if n else ids, ids)
+        ref = np.unique(ids)
+        np.testing.assert_array_equal(np.sort(uniq), ref)
+        # first-occurrence order: uniq follows the first sighting of each id
+        first = {v: i for i, v in reversed(list(enumerate(ids)))}
+        assert list(uniq) == sorted(first, key=first.get)
+
+
+def test_unique_inverse_negative_free_but_zero_ok():
+    """id 0 collides with nothing (ht sentinel is -1)."""
+    from fuxictr_tpu.native import unique_inverse
+    ids = np.array([0, 0, 5, 0, 5, 7])
+    uniq, inv = unique_inverse(ids)
+    np.testing.assert_array_equal(uniq, [0, 5, 7])
+    np.testing.assert_array_equal(uniq[inv], ids)

@@ -54,3 +54,29 @@ def test_under_jit_and_all_ids_equal():
     expected = np.zeros((10, 4))
     expected[0] = 64.0                    # 32 duplicates × cotangent 2
     np.testing.assert_allclose(np.asarray(g), expected)
+
+
+def test_table_gather_expand_grad_parity():
+    """Fused dedup gather: forward and VJP must equal the plain duplicated
+    gather (the backward is a single scatter with the recomposed flat ids)."""
+    import numpy as np
+    from fuxictr_tpu.ops.embedding import table_gather, table_gather_expand
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(50, 8)).astype(np.float32))
+    flat = rng.integers(0, 50, 200)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    ids = np.zeros(200, np.int64)
+    ids[:len(uniq)] = uniq
+    inv = jnp.asarray(inv.astype(np.int32))
+    ids = jnp.asarray(ids)
+    cot = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+
+    out_plain = table_gather(table, jnp.asarray(flat))
+    out_fused = table_gather_expand(table, ids, inv)
+    np.testing.assert_allclose(out_fused, out_plain, rtol=1e-6)
+
+    g_plain = jax.grad(
+        lambda t: jnp.vdot(table_gather(t, jnp.asarray(flat)), cot))(table)
+    g_fused = jax.grad(
+        lambda t: jnp.vdot(table_gather_expand(t, ids, inv), cot))(table)
+    np.testing.assert_allclose(g_fused, g_plain, rtol=1e-5, atol=1e-6)
