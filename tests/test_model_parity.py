@@ -498,3 +498,113 @@ def test_autoint_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dien_forward_parity(tmp_path):
+    """DIEN (AUGRU) on tiny_seq: packed-GRU interest extraction + bilinear
+    attention + AUGRU evolution vs our masked-scan formulation — the
+    hardest recurrence-semantics oracle (packed sequences vs masks)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_dien", "/root/reference/model_zoo/DIEN/src/DIEN.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.sequence import DIEN as OurDIEN
+
+    seq_dir = "/root/reference/data/tiny_seq"
+    overrides = {"embedding_dim": EMB_DIM,
+                 "feature_specs": [{"name": "click_sequence",
+                                    "feature_encoder": None}]}
+    fm = FeatureMap("tiny_seq", seq_dir)
+    fm.load(f"{seq_dir}/feature_map.json", overrides)
+    common = dict(dnn_activations="relu", net_dropout=0, batch_norm=False,
+                  dien_target_field="adgroup_id",
+                  dien_sequence_field="click_sequence",
+                  dien_neg_seq_field=None, gru_type="AUGRU",
+                  attention_type="bilinear_attention",
+                  use_attention_softmax=True, aux_loss_alpha=0)
+    ours = OurDIEN(fm, embedding_dim=EMB_DIM, dnn_hidden_units=(16, 8),
+                   model_root=str(tmp_path), **common)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_seq", seq_dir)
+    ref_fm.load(f"{seq_dir}/feature_map.json", overrides)
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rc = {k: v for k, v in common.items()
+          if k not in ("dnn_activations", "net_dropout", "batch_norm")}
+    # the reference miscounts feature_dim for dien_neg_seq_field=None
+    # (pandas flatten([None]) == [None]); [] is its consistent spelling
+    rc["dien_neg_seq_field"] = []
+    ref = mod.DIEN(ref_fm, dnn_hidden_units=[16, 8], net_dropout=0,
+                   batch_norm=False, dnn_activations="ReLU", **rc, **kwargs)
+    ref.eval()
+
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    layout = EmbeddingLayout(fm, EMB_DIM)
+    table = np.asarray(params["embedding"]["table_d4"])
+
+    def copy_gru(tm, p, torch_order):
+        """Copy our scanned cell into a torch GRU/AGRU module.
+        torch_order: permutation mapping our (u, r, n) chunks to torch's."""
+        H = np.asarray(p["h2h"]["kernel"]).shape[0]
+        for ours_name, w_attr, b_attr in (
+                ("x2h", "weight_ih_l0", "bias_ih_l0"),
+                ("h2h", "weight_hh_l0", "bias_hh_l0")):
+            k = np.asarray(p[ours_name]["kernel"]).T      # [3H, in]
+            b = np.asarray(p[ours_name]["bias"])
+            chunks_k = np.split(k, 3, axis=0)
+            chunks_b = np.split(b, 3, axis=0)
+            k2 = np.concatenate([chunks_k[i] for i in torch_order], axis=0)
+            b2 = np.concatenate([chunks_b[i] for i in torch_order], axis=0)
+            if hasattr(tm, w_attr):                        # nn.GRU
+                getattr(tm, w_attr).copy_(torch.from_numpy(k2))
+                getattr(tm, b_attr).copy_(torch.from_numpy(b2))
+            else:                                          # AGRU/AUGRU cell
+                lin = getattr(tm, ours_name)
+                lin.weight.copy_(torch.from_numpy(k2))
+                lin.bias.copy_(torch.from_numpy(b2))
+
+    with torch.no_grad():
+        for name, plan in layout.fields.items():
+            rows = table[plan["offset"]:plan["offset"]
+                         + plan["spec"]["vocab_size"]]
+            ref.embedding_layer.embedding_layers[name].weight.copy_(
+                torch.from_numpy(rows))
+        # extraction: torch nn.GRU chunk order (r, z, n); ours (u=z, r, n)
+        copy_gru(ref.extraction_modules[0],
+                 params["extraction_0"]["cell"], [1, 0, 2])
+        # evolution: reference AUGRUCell chunk order (u, r, n) — same as ours
+        copy_gru(ref.evolving_modules[0].gru_cell,
+                 params["evolving_0"]["cell"], [0, 1, 2])
+        ref.attention_modules[0].W_kernel.copy_(torch.from_numpy(
+            np.asarray(params["W_kernel_0"])))
+        lins = [m for m in ref.dnn.mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1", "Dense_2"]):
+            lin.weight.copy_(torch.from_numpy(
+                np.asarray(params["dnn"][key]["kernel"]).T))
+            lin.bias.copy_(torch.from_numpy(
+                np.asarray(params["dnn"][key]["bias"])))
+
+    raw = np.load(f"{seq_dir}/train.npz", allow_pickle=True)
+    n = 32
+    batch_np = {}
+    for name in list(fm.features) + fm.labels:
+        arr = raw[name][:n]
+        if arr.dtype == object:
+            arr = np.stack(arr)
+        batch_np[name] = arr
+    batch_ours = dict(batch_np)
+    batch_ours["__mask__"] = np.ones(n, np.float32)
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    torch_batch = {c: torch.from_numpy(np.asarray(v, np.int64))
+                   if np.asarray(v).dtype.kind in "iu"
+                   else torch.from_numpy(np.asarray(v, np.float32))
+                   for c, v in batch_np.items()}
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
