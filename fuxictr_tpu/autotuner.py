@@ -107,11 +107,16 @@ def load_experiment_ids(config_dir):
 
 
 def grid_search(config_dir, device_slots, expid_tag=None,
-                script="run_expid.py", poll_interval=3):
+                script="run_expid.py", poll_interval=3, max_retries=1):
     """Run every expid, one subprocess per idle device slot.
 
     ``device_slots``: list of opaque slot names (TPU slices, host indices,
     or simply ["0"] for one-at-a-time).
+
+    A crashed expid is retried up to ``max_retries`` times (the reference
+    only polls process exit and silently drops failures,
+    /root/reference/fuxictr/autotuner.py:177-178); exhausted expids are
+    returned so callers can surface them.
     """
     experiment_id_list = load_experiment_ids(config_dir)
     if expid_tag is not None:
@@ -119,22 +124,38 @@ def grid_search(config_dir, device_slots, expid_tag=None,
                               if str(expid_tag) in e]
         assert experiment_id_list, f"tag={expid_tag} matches no expid."
     device_slots = [str(s) for s in device_slots]
+    pending = [(e, 0) for e in experiment_id_list]
     idle_queue = list(range(len(device_slots)))
-    processes = {}
-    while experiment_id_list:
-        if idle_queue:
+    running = {}        # idle_idx -> (Popen, expid, attempt)
+    failed = []
+    while pending or running:
+        while pending and idle_queue:
             idle_idx = idle_queue.pop(0)
             slot = device_slots[idle_idx]
-            expid = experiment_id_list.pop(0)
+            expid, attempt = pending.pop(0)
             env = dict(os.environ, FUXICTR_DEVICE_SLOT=slot)
             cmd = ["python", "-u", script, "--config", config_dir,
                    "--expid", expid]
-            logging.info("Launch [slot %s]: %s", slot, " ".join(cmd))
-            processes[idle_idx] = subprocess.Popen(cmd, env=env)
-        else:
-            time.sleep(poll_interval)
-            for idle_idx, p in processes.items():
-                if p.poll() is not None and idle_idx not in idle_queue:
-                    idle_queue.append(idle_idx)
-    for p in processes.values():
-        p.wait()
+            logging.info("Launch [slot %s]%s: %s", slot,
+                         f" (retry {attempt})" if attempt else "",
+                         " ".join(cmd))
+            running[idle_idx] = (subprocess.Popen(cmd, env=env), expid,
+                                 attempt)
+        time.sleep(poll_interval if running else 0)
+        for idle_idx in list(running):
+            p, expid, attempt = running[idle_idx]
+            rc = p.poll()
+            if rc is None:
+                continue
+            del running[idle_idx]
+            idle_queue.append(idle_idx)
+            if rc != 0:
+                if attempt < max_retries:
+                    logging.warning("expid %s exited rc=%d; requeueing",
+                                    expid, rc)
+                    pending.append((expid, attempt + 1))
+                else:
+                    logging.error("expid %s failed after %d attempts",
+                                  expid, attempt + 1)
+                    failed.append(expid)
+    return failed

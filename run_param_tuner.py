@@ -15,4 +15,9 @@ if __name__ == "__main__":
                         help="device slots (TPU slices / worker indices)")
     args = parser.parse_args()
     config_dir = autotuner.enumerate_params(args.config)
-    autotuner.grid_search(config_dir, args.slots, expid_tag=args.tag)
+    failed = autotuner.grid_search(config_dir, args.slots,
+                                   expid_tag=args.tag)
+    if failed:
+        raise SystemExit(
+            f"{len(failed)} expid(s) failed after retries: "
+            + ", ".join(failed))

@@ -57,3 +57,28 @@ def test_grid_search_runs_experiments(tuner_yaml, tmp_path):
         lines = [l for l in fd if l.strip()]
     assert len(lines) == 2                        # one row per expid
     assert all("[exp_id] DNN_test_" in l for l in lines)
+
+
+def test_grid_search_retries_crashed_expid(tmp_path, monkeypatch):
+    """A nonzero-exit expid is relaunched once, then reported as failed."""
+    import subprocess
+    from fuxictr_tpu import autotuner
+
+    launches = []
+
+    class FakeProc:
+        def __init__(self, cmd, env=None):
+            launches.append(cmd[cmd.index("--expid") + 1])
+            self._rc = 1
+        def poll(self):
+            return self._rc
+        def wait(self):
+            return self._rc
+
+    monkeypatch.setattr(autotuner, "load_experiment_ids",
+                        lambda d: ["bad_expid"])
+    monkeypatch.setattr(subprocess, "Popen", FakeProc)
+    failed = autotuner.grid_search(str(tmp_path), ["0"], poll_interval=0,
+                                   max_retries=1)
+    assert launches == ["bad_expid", "bad_expid"]
+    assert failed == ["bad_expid"]

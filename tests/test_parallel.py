@@ -120,3 +120,68 @@ def test_sharded_table_gather_grad():
         lambda t: jnp.sum(jnp.take(t, ids, axis=0) * cot))(table)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_longctr_dedup_train_step_distributes():
+    """SIM with loader-deduped item batches on a (data x model) mesh:
+    guards the table_gather_expand custom VJP under GSPMD (gather of a
+    row-sharded table by replicated ids + two-stage scatter backward)."""
+    from collections import OrderedDict
+
+    from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
+    from fuxictr_tpu.data.longctr_loader import (INVERSE_KEY, ITEMS_KEY,
+                                                 SEQ_MASK_KEY)
+    from fuxictr_tpu.features import FeatureMap
+    from fuxictr_tpu.models.registry import MODEL_REGISTRY
+    import fuxictr_tpu.models.zoo  # noqa: F401
+
+    B, L, V = 8, 6, 64
+    fm = FeatureMap("syn_long_mesh", "")
+    fm.features = OrderedDict([
+        ("user_feat", {"source": "user", "type": "categorical",
+                       "padding_idx": 0, "vocab_size": 12}),
+        ("item_id", {"source": "item", "type": "categorical",
+                     "padding_idx": 0, "vocab_size": V}),
+    ])
+    fm.labels = ["clk"]
+    fm.num_fields = fm.get_num_fields()
+    fm.default_emb_dim = 8
+    fm.set_column_index()
+    rng = np.random.default_rng(0)
+    flat = rng.integers(1, V, B * (L + 1))
+    uniq, inv = np.unique(flat, return_inverse=True)
+    cap = 64
+    ids = np.zeros(cap, np.int64)
+    ids[:len(uniq)] = uniq
+    batch = {
+        "user_feat": rng.integers(1, 12, B).astype(np.int64),
+        SEQ_MASK_KEY: np.ones((B, L), np.float32),
+        "clk": rng.integers(0, 2, B).astype(np.float32),
+        SAMPLE_MASK_KEY: np.ones(B, np.float32),
+        ITEMS_KEY: {"item_id": ids,
+                    INVERSE_KEY: inv.astype(np.int32)},
+    }
+
+    def build():
+        m = MODEL_REGISTRY["SIM"](
+            fm, model_id="SIM_mesh", embedding_dim=8, attention_dim=8,
+            dnn_hidden_units=(16,), topk=3, short_seq_len=2,
+            model_root="/tmp/fx_mesh_longctr")
+        m._example_batch = lambda batch_size=2: batch
+        m.init_params()
+        return m
+
+    m1 = build()
+    step1 = m1._make_train_step()
+    s1, loss1 = step1(m1.state, jax.device_put(batch), jax.random.PRNGKey(1))
+
+    m2 = build()
+    mesh = make_mesh(n_data=4, n_model=2)
+    m2.distribute(mesh)
+    step2 = m2._make_train_step()
+    s2, loss2 = step2(m2.state, m2._place_batch(batch), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(
+        jax.device_get(s1.params["embedding"]["table_d8"]),
+        jax.device_get(s2.params["embedding"]["table_d8"]), atol=1e-5)
