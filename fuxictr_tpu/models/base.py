@@ -485,9 +485,19 @@ class RankModel:
                 self.state, stacked, step_rng)
             pending_losses.append(loss)
 
+        def signature(b):
+            return tuple(np.shape(x) for x in jax.tree_util.tree_leaves(b))
+
+        pending_sig = None
         for batch_index, batch in enumerate(data_generator):
             self._batch_index = batch_index
             self._total_steps += 1
+            # variable-shape loaders (e.g. LongCTR dedup buckets) can change
+            # shape mid-epoch; stack only like-shaped neighbours
+            sig = signature(batch)
+            if pending and sig != pending_sig:
+                flush()
+            pending_sig = sig
             pending.append(batch)
             if len(pending) == k:
                 flush()
