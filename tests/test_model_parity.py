@@ -608,3 +608,77 @@ def test_dien_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_finalmlp_forward_parity(tmp_path):
+    """FinalMLP with the full option set: context-gated feature selection
+    (one real-context gate, one bias gate) + 2-head bilinear fusion."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_finalmlp", "/root/reference/model_zoo/FinalMLP/src/FinalMLP.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking4 import FinalMLP as OurFinalMLP
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    ctx_field = list(fm.features)[0]
+    cfg = dict(mlp1_hidden_units=(16, 8), mlp2_hidden_units=(16, 12),
+               mlp1_hidden_activations="relu",
+               mlp2_hidden_activations="relu", mlp1_dropout=0,
+               mlp2_dropout=0, mlp1_batch_norm=False, mlp2_batch_norm=False,
+               use_fs=True, fs_hidden_units=(8,),
+               fs1_context=(ctx_field,), fs2_context=(), num_heads=2)
+    ours = OurFinalMLP(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                       **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(mlp1_hidden_units=[16, 8], mlp2_hidden_units=[16, 12],
+                mlp1_hidden_activations="ReLU",
+                mlp2_hidden_activations="ReLU", fs_hidden_units=[8],
+                fs1_context=[ctx_field], fs2_context=[])
+    ref = mod.FinalMLP(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        # fs1 context embedding: its own single-field fused table
+        from fuxictr_tpu.ops.embedding import EmbeddingLayout
+        ctx_layout = EmbeddingLayout(fm, EMB_DIM, required=[ctx_field])
+        ctx_table = np.asarray(params["fs1_ctx"][f"table_d{EMB_DIM}"])
+        for name, plan in ctx_layout.fields.items():
+            rows = ctx_table[plan["offset"]:plan["offset"]
+                             + plan["spec"]["vocab_size"]]
+            ref.fs_module.fs1_ctx_emb.embedding_layer \
+                .embedding_layers[name].weight.copy_(torch.from_numpy(rows))
+        ref.fs_module.fs2_ctx_bias.copy_(torch.from_numpy(
+            np.asarray(params["fs2_bias"])))
+        _copy_mlp(params, ref.fs_module.fs1_gate, "fs1_gate", 2)
+        _copy_mlp(params, ref.fs_module.fs2_gate, "fs2_gate", 2)
+        _copy_mlp(params, ref.mlp1, "mlp1", 2)
+        _copy_mlp(params, ref.mlp2, "mlp2", 2)
+        ref.fusion_module.w_x.weight.copy_(torch.from_numpy(
+            np.asarray(params["w_x"]["kernel"]).T))
+        ref.fusion_module.w_x.bias.copy_(torch.from_numpy(
+            np.asarray(params["w_x"]["bias"])))
+        ref.fusion_module.w_y.weight.copy_(torch.from_numpy(
+            np.asarray(params["w_y"]["kernel"]).T))
+        ref.fusion_module.w_y.bias.copy_(torch.from_numpy(
+            np.asarray(params["w_y"]["bias"])))
+        ref.fusion_module.w_xy.copy_(torch.from_numpy(
+            np.asarray(params["w_xy"])))
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
