@@ -289,8 +289,11 @@ class _SDIMNet(_LongCTRBase):
         collide = collide.astype(long_seq.dtype) * mask[..., None]
         attn = jnp.einsum("blh,bld->bhd", collide, long_seq)     # [B, H, D]
         if self.l2_norm:
-            attn = attn / jnp.maximum(
-                jnp.linalg.norm(attn, axis=-1, keepdims=True), 1e-12)
+            # rsqrt(sq + eps) instead of /norm: jnp.linalg.norm has a NaN
+            # gradient at the zero vector, which padded rows and
+            # no-collision rows hit (F.normalize parity within eps)
+            sq = jnp.sum(attn * attn, axis=-1, keepdims=True)
+            attn = attn * jax.lax.rsqrt(sq + 1e-12)
         long_interest = jnp.mean(attn, axis=1)
         x = jnp.concatenate(
             emb_list + [target_emb, long_interest, short_interest], axis=-1)
