@@ -35,6 +35,12 @@ def test_model_trains_and_predicts(name, tiny_fm):
                 model_root="/tmp/fx_zoo_smoke")
     model.init_params()
     batch = make_synthetic_batch(tiny_fm, batch_size=16, seed=0)
+    # adversarial tail: fully-padded rows (ids 0, sample mask 0) — the
+    # NaN-at-zero-gradient trap (norm/arctan2/sqrt of an all-zero
+    # embedding row has a NaN local derivative even under a 0 cotangent;
+    # caught live in SDIM's l2-norm)
+    for k, v in batch.items():
+        v[-4:] = 0
     batch = jax.device_put(batch)
     step = model._make_train_step()
     rng = jax.random.PRNGKey(0)
@@ -44,6 +50,12 @@ def test_model_trains_and_predicts(name, tiny_fm):
         state, loss = step(state, batch, rng)
         losses.append(float(loss))
     assert np.isfinite(losses).all(), f"{name}: non-finite loss {losses}"
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            jax.device_get(state.params)):
+        arr = np.asarray(leaf)
+        if np.issubdtype(arr.dtype, np.floating):
+            assert np.isfinite(arr).all(), \
+                f"{name}: non-finite params after step at {path}"
     model.state = state
     pred_step = model._make_predict_step()
     y = np.asarray(pred_step(state, batch))
