@@ -179,6 +179,52 @@ def _tge_bwd(res, g):
 table_gather_expand.defvjp(_tge_fwd, _tge_bwd)
 
 
+def _tgem_uniq(table, ids_stack, mask_stack):
+    return jnp.concatenate(
+        [jnp.take(table, ids_stack[i], axis=0)
+         * mask_stack[i][:, None].astype(table.dtype)
+         for i in range(ids_stack.shape[0])], axis=-1)       # [U, k*D]
+
+
+@jax.custom_vjp
+def table_gather_expand_multi(table, ids_stack, inv, mask_stack):
+    """k-field deduped lookup from ONE fused table, ONE expand.
+
+    ``ids_stack`` [k, U] holds each field's offset-shifted unique row ids
+    and ``mask_stack`` [k, U] the padding masks (applied at unique level —
+    cheaper than masking the expanded rows, and equivalent because the
+    expansion is a pure row-select). Returns [len(inv), k*D].
+    Expand-take and its segment-sum backward are ROW-COUNT bound on v5e
+    (a [1M, 32] and a [1M, 64] take both cost ~6.5 ms — BENCHMARKS.md), so
+    k fields expanded together cost one field's expand instead of k.
+    Backward: one [len(inv)]-row segment-sum into the [U, k*D] temp, then
+    k unique-row scatters into the table.
+    """
+    return jnp.take(_tgem_uniq(table, ids_stack, mask_stack), inv, axis=0)
+
+
+def _tgem_fwd(table, ids_stack, inv, mask_stack):
+    out = jnp.take(_tgem_uniq(table, ids_stack, mask_stack), inv, axis=0)
+    return out, (table, ids_stack, inv, mask_stack)
+
+
+def _tgem_bwd(res, g):
+    table, ids_stack, inv, mask_stack = res
+    k = ids_stack.shape[0]
+    U = ids_stack.shape[1]
+    D = g.shape[-1] // k
+    seg = jnp.zeros((U, g.shape[-1]), g.dtype).at[inv].add(g)
+    grad = jnp.zeros_like(table)
+    for i in range(k):
+        grad = grad.at[ids_stack[i]].add(
+            (seg[:, i * D:(i + 1) * D]
+             * mask_stack[i][:, None]).astype(table.dtype))
+    return grad, None, None, None
+
+
+table_gather_expand_multi.defvjp(_tgem_fwd, _tgem_bwd)
+
+
 @jax.custom_vjp
 def table_gather_dedup(table, ids):
     """Gather whose backward sorts ids and segment-sums duplicates into one
@@ -364,6 +410,42 @@ class FeatureEmbedding(nn.Module):
             out = out * (ids != pad)[..., None].astype(out.dtype)
         return out
 
+    def _grouped_expand(self, batch, inv, feature_source, feature_type):
+        """Deduped dicts: expand all plain fused-categorical fields of a
+        dim through ONE table_gather_expand_multi call (row-count-bound op
+        — k fields for the price of one; see the op's docstring)."""
+        by_dim = {}
+        for name, plan in self.layout.fields.items():
+            spec = plan["spec"]
+            if (name not in batch or plan["type"] != "categorical"
+                    or "offset" not in plan or plan.get("pretrained")
+                    or name in self.encoders):
+                continue
+            if feature_source and not_in_whitelist(spec.get("source"),
+                                                   feature_source):
+                continue
+            if feature_type and not_in_whitelist(plan["type"], feature_type):
+                continue
+            by_dim.setdefault(plan["dim"], []).append((name, plan))
+        out = {}
+        for dim, fields in by_dim.items():
+            if len(fields) < 2:
+                continue        # single field: plain fused path is enough
+            table = self.tables[dim]
+            ids, masks = [], []
+            for name, plan in fields:
+                local = jnp.asarray(batch[name]).astype(jnp.int32)
+                ids.append(local + plan["offset"])
+                pad = plan["padding_idx"]
+                masks.append((local != pad) if pad >= 0
+                             else jnp.ones_like(local, jnp.bool_))
+            emb = table_gather_expand_multi(
+                table, jnp.stack(ids), inv,
+                jnp.stack(masks))                  # [len(inv), k*dim]
+            for i, (name, plan) in enumerate(fields):
+                out[name] = emb[:, i * dim:(i + 1) * dim]
+        return out
+
     def embedding_dict(self, batch, feature_source=(), feature_type=(),
                        train=False):
         """OrderedDict of per-field embeddings: [B, D] or [B, L, D]."""
@@ -371,8 +453,11 @@ class FeatureEmbedding(nn.Module):
         # loader-deduped dicts (data/longctr_loader.py) carry unique rows +
         # an inverse index; every field expands back to the flat layout
         inv = batch.get(INVERSE_KEY)
+        grouped = {}
         if inv is not None:
             inv = jnp.asarray(inv)
+            grouped = self._grouped_expand(batch, inv, feature_source,
+                                           feature_type)
         for name, plan in self.layout.fields.items():
             spec = plan["spec"]
             if name not in batch:   # partial dicts (e.g. LongCTR item tables)
@@ -398,6 +483,8 @@ class FeatureEmbedding(nn.Module):
                 emb = self._lookup_pretrained(batch, plan, name)
                 if inv is not None:
                     emb = jnp.take(emb, inv, axis=0)
+            elif name in grouped:
+                emb = grouped[name]
             else:
                 emb = self._lookup_fused(batch, plan, name, inv=inv)
             if plan["type"] == "sequence":

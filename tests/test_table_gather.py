@@ -80,3 +80,43 @@ def test_table_gather_expand_grad_parity():
     g_fused = jax.grad(
         lambda t: jnp.vdot(table_gather_expand(t, ids, inv), cot))(table)
     np.testing.assert_allclose(g_fused, g_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_table_gather_expand_multi_grad_parity():
+    """Fused k-field expand: forward and table-VJP must equal k separate
+    plain gathers with per-field pad masks."""
+    import numpy as np
+    from fuxictr_tpu.ops.embedding import table_gather_expand_multi
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(70, 8)).astype(np.float32))
+    flat_a = rng.integers(0, 30, 150)           # field a: rows 0..29, pad 0
+    flat_b = rng.integers(30, 70, 150)          # field b: rows 30..69
+    uniq, inv = np.unique(flat_a, return_inverse=True)
+    U = 48
+    ids_a = np.zeros(U, np.int64)
+    ids_a[:len(uniq)] = uniq
+    # field b rows keyed by the same inverse (same item, different feature)
+    b_of_uniq = rng.integers(30, 70, U)
+    ids_b = b_of_uniq
+    mask_a = ids_a != 0
+    mask_b = np.ones(U, bool)
+    ids = jnp.asarray(np.stack([ids_a, ids_b]))
+    masks = jnp.asarray(np.stack([mask_a, mask_b]))
+    inv = jnp.asarray(inv.astype(np.int32))
+    cot = jnp.asarray(rng.normal(size=(150, 16)).astype(np.float32))
+
+    def reference(t):
+        a = jnp.take(t, jnp.asarray(ids_a), axis=0) \
+            * jnp.asarray(mask_a)[:, None]
+        b = jnp.take(t, jnp.asarray(ids_b), axis=0) \
+            * jnp.asarray(mask_b)[:, None]
+        return jnp.take(jnp.concatenate([a, b], axis=-1), inv, axis=0)
+
+    out_ref = reference(table)
+    out_multi = table_gather_expand_multi(table, ids, inv, masks)
+    np.testing.assert_allclose(out_multi, out_ref, rtol=1e-6)
+
+    g_ref = jax.grad(lambda t: jnp.vdot(reference(t), cot))(table)
+    g_multi = jax.grad(lambda t: jnp.vdot(
+        table_gather_expand_multi(t, ids, inv, masks), cot))(table)
+    np.testing.assert_allclose(g_multi, g_ref, rtol=1e-5, atol=1e-6)
