@@ -473,13 +473,18 @@ class RankModel:
             pending.clear()
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                stacked = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(
-                        np.asarray(x),
-                        NamedSharding(self.mesh,
-                                      P(None, "data",
-                                        *(None,) * (np.ndim(x) - 2)))),
-                    stacked)
+
+                def _put(x, spec):
+                    return jax.device_put(np.asarray(x),
+                                          NamedSharding(self.mesh, spec))
+
+                stacked = {
+                    k: jax.tree_util.tree_map(lambda x: _put(x, P()), v)
+                    if k == "__items__"     # side tables: not batch-aligned
+                    else jax.tree_util.tree_map(
+                        lambda x: _put(x, P(None, "data",
+                                            *(None,) * (np.ndim(x) - 2))), v)
+                    for k, v in stacked.items()}
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, loss = self._jit_multi_step(
                 self.state, stacked, step_rng)

@@ -49,10 +49,23 @@ def batch_sharding(mesh, leaf):
 
 
 def shard_batch(mesh, batch):
-    """Place a host batch dict on the mesh, sharded over 'data'."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(np.asarray(x), batch_sharding(mesh, x)),
-        batch)
+    """Place a host batch dict on the mesh, sharded over 'data'.
+
+    Side-table entries (the LongCTR ``__items__`` dict: unique item rows +
+    inverse index) are NOT batch-aligned — their leading dim is the unique
+    count / flat length, not B — so they are replicated; GSPMD re-shards
+    the expanded rows where they meet the data-sharded tensors."""
+    out = {}
+    for key, value in batch.items():
+        if key == "__items__":
+            out[key] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x),
+                                         NamedSharding(mesh, P())), value)
+        else:
+            out[key] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x),
+                                         batch_sharding(mesh, x)), value)
+    return out
 
 
 def _is_table_leaf(path, leaf):
