@@ -682,3 +682,59 @@ def test_finalmlp_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fibinet_forward_parity(tmp_path):
+    """FiBiNET: SENet recalibration + two bilinear interactions + LR."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_fibinet", "/root/reference/model_zoo/FiBiNET/src/FiBiNET.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking3 import FiBiNET as OurFiBiNET
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    ours = OurFiBiNET(fm, embedding_dim=EMB_DIM, hidden_units=(16, 8),
+                      hidden_activations="relu", excitation_activation="relu",
+                      reduction_ratio=3, bilinear_type="field_interaction",
+                      net_dropout=0, batch_norm=False,
+                      model_root=str(tmp_path))
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    ref = mod.FiBiNET(ref_fm, hidden_units=[16, 8],
+                      hidden_activations="ReLU",
+                      excitation_activation="ReLU", reduction_ratio=3,
+                      bilinear_type="field_interaction", net_dropout=0,
+                      batch_norm=False, **kwargs)
+    ref.eval()
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        _copy_lr(params, ref.lr_layer, fm, "embedding_lr")
+        se = params["senet"]
+        lins = [m for m in ref.senet_layer.excitation
+                if isinstance(m, torch.nn.Linear)]
+        lins[0].weight.copy_(torch.from_numpy(
+            np.asarray(se["squeeze"]["kernel"]).T))
+        lins[1].weight.copy_(torch.from_numpy(
+            np.asarray(se["excite"]["kernel"]).T))
+        ref.bilinear_interaction1.bilinear_W.copy_(torch.from_numpy(
+            np.asarray(params["bilinear1"]["W"])))
+        ref.bilinear_interaction2.bilinear_W.copy_(torch.from_numpy(
+            np.asarray(params["bilinear2"]["W"])))
+        _copy_mlp(params, ref.dnn, "dnn", 3)
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
