@@ -427,15 +427,28 @@ class _MaskNetNet(nn.Module):
         emb = FeatureEmbedding(self.feature_map, self.embedding_dim,
                                name="embedding")(batch)      # [B, F, D]
         if self.emb_layernorm:
-            emb = nn.LayerNorm(epsilon=1e-5, name="emb_norm")(emb)
+            # per-field LayerNorm (the reference keeps one nn.LayerNorm per
+            # field, MaskNet.py:98 — separate scale/bias per field, stats
+            # over D): one vectorized norm with [F, D] affine params
+            F_, D_ = emb.shape[1], emb.shape[2]
+            mean = jnp.mean(emb, axis=-1, keepdims=True)
+            var = jnp.var(emb, axis=-1, keepdims=True)
+            g = self.param("emb_ln_scale", nn.initializers.ones, (F_, D_))
+            b = self.param("emb_ln_bias", zeros_init, (F_, D_))
+            hidden = (emb - mean) * jax.lax.rsqrt(var + 1e-5) * g + b
+        else:
+            hidden = emb
+        # mask inputs use the RAW embedding; the normed one seeds the
+        # hidden stream (MaskNet.py:121: mask_net(feature_emb, V_hidden))
         v_emb = _flat(emb)
+        v_hidden = _flat(hidden)
         acts = self.dnn_hidden_activations
         if not isinstance(acts, (list, tuple)):
             acts = [acts] * max(len(self.dnn_hidden_units),
                                 self.parallel_num_blocks)
         if self.model_type == "SerialMaskNet":
-            units = [v_emb.shape[-1]] + list(self.dnn_hidden_units)
-            h = v_emb
+            units = [v_hidden.shape[-1]] + list(self.dnn_hidden_units)
+            h = v_hidden
             for i in range(len(units) - 1):
                 h = _MaskBlock(units[i], units[i + 1], acts[i],
                                self.reduction_ratio, self.net_dropout,
@@ -447,7 +460,7 @@ class _MaskNetNet(nn.Module):
                 _MaskBlock(v_emb.shape[-1], self.parallel_block_dim, acts[0],
                            self.reduction_ratio, self.net_dropout,
                            self.net_layernorm,
-                           name=f"block_{i}")(v_emb, v_emb, train=train)
+                           name=f"block_{i}")(v_emb, v_hidden, train=train)
                 for i in range(self.parallel_num_blocks)]
             y = MLP_Block(hidden_units=tuple(self.dnn_hidden_units),
                           hidden_activations=self.dnn_hidden_activations,

@@ -738,3 +738,83 @@ def test_fibinet_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("model_type", ["SerialMaskNet", "ParallelMaskNet"])
+def test_masknet_forward_parity(model_type, tmp_path):
+    """MaskNet serial/parallel: per-field emb LayerNorm, instance-guided
+    mask blocks (raw-emb mask input vs normed hidden stream)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_masknet", "/root/reference/model_zoo/MaskNet/src/MaskNet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking3 import MaskNet as OurMaskNet
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    cfg = dict(dnn_hidden_units=(16, 8), dnn_hidden_activations="relu",
+               model_type=model_type, parallel_num_blocks=2,
+               parallel_block_dim=8, reduction_ratio=1.0, net_dropout=0,
+               emb_layernorm=True, net_layernorm=True)
+    ours = OurMaskNet(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                      **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(dnn_hidden_units=[16, 8], dnn_hidden_activations="ReLU",
+                reduction_ratio=1, net_dropout=0)
+    ref = mod.MaskNet(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_block(rb, p):
+        lins = [m for m in rb.mask_layer
+                if isinstance(m, torch.nn.Linear)]
+        lins[0].weight.copy_(torch.from_numpy(
+            np.asarray(p["mask_1"]["kernel"]).T))
+        lins[0].bias.copy_(torch.from_numpy(np.asarray(p["mask_1"]["bias"])))
+        lins[1].weight.copy_(torch.from_numpy(
+            np.asarray(p["mask_2"]["kernel"]).T))
+        lins[1].bias.copy_(torch.from_numpy(np.asarray(p["mask_2"]["bias"])))
+        hl = [m for m in rb.hidden_layer if isinstance(m, torch.nn.Linear)]
+        hl[0].weight.copy_(torch.from_numpy(
+            np.asarray(p["hidden"]["kernel"]).T))
+        ln = [m for m in rb.hidden_layer
+              if isinstance(m, torch.nn.LayerNorm)]
+        ln[0].weight.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_0"]["scale"])))
+        ln[0].bias.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_0"]["bias"])))
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        for i, emb_ln in enumerate(ref.emb_norm):
+            emb_ln.weight.copy_(torch.from_numpy(
+                np.asarray(params["emb_ln_scale"])[i]))
+            emb_ln.bias.copy_(torch.from_numpy(
+                np.asarray(params["emb_ln_bias"])[i]))
+        if model_type == "SerialMaskNet":
+            for i, rb in enumerate(ref.mask_net.mask_blocks):
+                copy_block(rb, params[f"block_{i}"])
+            ref.mask_net.fc[0].weight.copy_(torch.from_numpy(
+                np.asarray(params["fc"]["kernel"]).T))
+            ref.mask_net.fc[0].bias.copy_(torch.from_numpy(
+                np.asarray(params["fc"]["bias"])))
+        else:
+            for i, rb in enumerate(ref.mask_net.mask_blocks):
+                copy_block(rb, params[f"block_{i}"])
+            _copy_mlp(params, ref.mask_net.dnn, "dnn", 3)
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
