@@ -818,3 +818,138 @@ def test_masknet_forward_parity(model_type, tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_edcn_forward_parity(tmp_path):
+    """EDCN with the attention_pooling bridge: cross/deep towers exchanging
+    through bridge + softmax-regulation modules."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_edcn", "/root/reference/model_zoo/EDCN/src/EDCN.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking4 import EDCN as OurEDCN
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    cfg = dict(num_cross_layers=2, hidden_activations="relu",
+               bridge_type="attention_pooling", temperature=0.7,
+               net_dropout=0, batch_norm=False)
+    ours = OurEDCN(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                   **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg["hidden_activations"] = "ReLU"
+    ref = mod.EDCN(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_lin(lin, p, bias=True):
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        if bias:
+            lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        for i in range(2):
+            ref.regulation_modules[i].g1.copy_(torch.from_numpy(
+                np.asarray(params[f"g1_{i}"])))
+            ref.regulation_modules[i].g2.copy_(torch.from_numpy(
+                np.asarray(params[f"g2_{i}"])))
+            ref.cross_layers[i].weight.weight.copy_(torch.from_numpy(
+                np.asarray(params[f"cross_w_{i}"]).T))
+            ref.cross_layers[i].bias.copy_(torch.from_numpy(
+                np.asarray(params[f"cross_b_{i}"])))
+            lin = [m for m in ref.dense_layers[i].mlp
+                   if isinstance(m, torch.nn.Linear)][0]
+            copy_lin(lin, params[f"dense_{i}"]["Dense_0"])
+            att1 = [m for m in ref.bridge_modules[i].attention1
+                    if isinstance(m, torch.nn.Linear)]
+            att2 = [m for m in ref.bridge_modules[i].attention2
+                    if isinstance(m, torch.nn.Linear)]
+            copy_lin(att1[0], params[f"att1_{i}_1"])
+            copy_lin(att1[1], params[f"att1_{i}_2"], bias=False)
+            copy_lin(att2[0], params[f"att2_{i}_1"])
+            copy_lin(att2[1], params[f"att2_{i}_2"], bias=False)
+        copy_lin(ref.fc, params["fc"])
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fignn_forward_parity(tmp_path):
+    """FiGNN: attentional field graph + per-field W_in/W_out transforms +
+    GRU state updates + attentional prediction."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_fignn", "/root/reference/model_zoo/FiGNN/src/FiGNN.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking4 import FiGNN as OurFiGNN
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    cfg = dict(gnn_layers=2, use_residual=True, use_gru=True,
+               reuse_graph_layer=False)
+    ours = OurFiGNN(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                    **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    ref = mod.FiGNN(ref_fm, **cfg, **kwargs)
+    ref.eval()
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        ref.fignn.W_attn.weight.copy_(torch.from_numpy(
+            np.asarray(params["W_attn"]["kernel"]).T))
+        for i in range(2):
+            gl = ref.fignn.gnn[i]
+            gl.W_in.copy_(torch.from_numpy(np.asarray(params[f"W_in_{i}"])))
+            gl.W_out.copy_(torch.from_numpy(
+                np.asarray(params[f"W_out_{i}"])))
+            gl.bias_p.copy_(torch.from_numpy(
+                np.asarray(params[f"bias_p_{i}"])))
+        # flax GRUCell → torch GRUCell: chunk order (r, z, n); flax holds
+        # biases on ir/iz/in + hn only (i/h linears are summed)
+        g = params["gru"]
+        kT = lambda k: np.asarray(g[k]["kernel"]).T
+        ref.fignn.gru.weight_ih.copy_(torch.from_numpy(
+            np.concatenate([kT("ir"), kT("iz"), kT("in")], axis=0)))
+        ref.fignn.gru.weight_hh.copy_(torch.from_numpy(
+            np.concatenate([kT("hr"), kT("hz"), kT("hn")], axis=0)))
+        ref.fignn.gru.bias_ih.copy_(torch.from_numpy(np.concatenate(
+            [np.asarray(g["ir"]["bias"]), np.asarray(g["iz"]["bias"]),
+             np.asarray(g["in"]["bias"])])))
+        D = EMB_DIM
+        ref.fignn.gru.bias_hh.copy_(torch.from_numpy(np.concatenate(
+            [np.zeros(D, np.float32), np.zeros(D, np.float32),
+             np.asarray(g["hn"]["bias"])])))
+        ref.fc.mlp1.weight.copy_(torch.from_numpy(
+            np.asarray(params["mlp1"]["kernel"]).T))
+        ref.fc.mlp2[0].weight.copy_(torch.from_numpy(
+            np.asarray(params["mlp2"]["kernel"]).T))
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
