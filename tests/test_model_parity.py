@@ -953,3 +953,138 @@ def test_fignn_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_eulernet_forward_parity(tmp_path):
+    """EulerNet: complex-plane (log-polar) interactions with LayerNorm."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_eulernet",
+        "/root/reference/model_zoo/EulerNet/src/EulerNet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking4 import EulerNet as OurEulerNet
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    cfg = dict(shape=(3, 3), net_ex_dropout=0, net_im_dropout=0,
+               layer_norm=True)
+    ours = OurEulerNet(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                       **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    ref = mod.EulerNet(ref_fm, shape=[3, 3], net_ex_dropout=0,
+                       net_im_dropout=0, layer_norm=True, **kwargs)
+    ref.eval()
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        ref.mu.copy_(torch.from_numpy(np.asarray(params["mu"])))
+        for i, layer in enumerate(ref.Euler_interaction_layers):
+            p = params[f"euler_{i}"]
+            layer.inter_orders.copy_(torch.from_numpy(
+                np.asarray(p["inter_orders"])))
+            layer.bias_lam.copy_(torch.from_numpy(np.asarray(p["bias_lam"])))
+            layer.bias_theta.copy_(torch.from_numpy(
+                np.asarray(p["bias_theta"])))
+            layer.im.weight.copy_(torch.from_numpy(
+                np.asarray(p["im"]["kernel"]).T))
+            layer.im.bias.copy_(torch.from_numpy(
+                np.asarray(p["im"]["bias"])))
+            layer.norm_r.weight.copy_(torch.from_numpy(
+                np.asarray(p["norm_r"]["scale"])))
+            layer.norm_r.bias.copy_(torch.from_numpy(
+                np.asarray(p["norm_r"]["bias"])))
+            layer.norm_p.weight.copy_(torch.from_numpy(
+                np.asarray(p["norm_p"]["scale"])))
+            layer.norm_p.bias.copy_(torch.from_numpy(
+                np.asarray(p["norm_p"]["bias"])))
+        ref.reg.weight.copy_(torch.from_numpy(
+            np.asarray(params["reg"]["kernel"]).T))
+        ref.reg.bias.copy_(torch.from_numpy(
+            np.asarray(params["reg"]["bias"])))
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_wukong_forward_parity(tmp_path):
+    """WuKong: low-rank FMB + LCB stacking with residual projections."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_wukong", "/root/reference/model_zoo/WuKong/src/WuKong.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking4 import WuKong as OurWuKong
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    cfg = dict(num_wukong_layers=2, lcb_features=4, fmb_features=3,
+               fmb_mlp_units=(16,), fmb_mlp_activations="relu",
+               fmp_rank_k=2, mlp_hidden_units=(16, 8),
+               mlp_hidden_activations="relu", mlp_batch_norm=False,
+               layer_norm=True, net_dropout=0)
+    ours = OurWuKong(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                     **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(fmb_mlp_units=[16], mlp_hidden_units=[16, 8])
+    ref = mod.WuKong(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_lin(lin, p, bias=True):
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        if bias:
+            lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        for i, layer in enumerate(ref.wukong_stack):
+            p = params[f"wukong_{i}"]
+            layer.fmb.proj_Y.copy_(torch.from_numpy(
+                np.asarray(p["proj_Y"])))
+            layer.fmb.layer_norm.weight.copy_(torch.from_numpy(
+                np.asarray(p["fm_ln"]["scale"])))
+            layer.fmb.layer_norm.bias.copy_(torch.from_numpy(
+                np.asarray(p["fm_ln"]["bias"])))
+            lins = [m for m in layer.fmb.mlp.mlp
+                    if isinstance(m, torch.nn.Linear)]
+            copy_lin(lins[0], p["fmb_mlp"]["Dense_0"])
+            copy_lin(lins[1], p["fmb_mlp"]["Dense_1"])
+            layer.lcb.linear.weight.copy_(torch.from_numpy(
+                np.asarray(p["lcb"]["kernel"]).T))
+            if "residual_proj" in p:
+                copy_lin(layer.residual_proj, p["residual_proj"])
+            layer.layer_norm.weight.copy_(torch.from_numpy(
+                np.asarray(p["ln"]["scale"])))
+            layer.layer_norm.bias.copy_(torch.from_numpy(
+                np.asarray(p["ln"]["bias"])))
+        lins = [m for m in ref.fc.mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1", "Dense_2"]):
+            copy_lin(lin, params["fc"][key])
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
