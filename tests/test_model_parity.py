@@ -1088,3 +1088,66 @@ def test_wukong_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_ppnet_forward_parity(tmp_path):
+    """PPNet (dynamic-weights family): GateNU-rescaled MLP fed
+    [stop_grad(features), gate-prior embeddings]."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_ppnet", "/root/reference/model_zoo/PEPNet/src/PPNet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.dynamic import PPNet as OurPPNet
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    priors = list(fm.features)[:2]
+    cfg = dict(gate_emb_dim=3, gate_priors=priors, gate_hidden_dim=8,
+               hidden_units=(16, 8), hidden_activations="relu",
+               net_dropout=0, batch_norm=False)
+    ours = OurPPNet(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                    **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(hidden_units=[16, 8], hidden_activations="ReLU",
+                gate_priors=list(priors))
+    ref = mod.PPNet(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_lin(lin, p):
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        from fuxictr_tpu.ops.embedding import EmbeddingLayout
+        g_layout = EmbeddingLayout(fm, 3, required=priors)
+        g_table = np.asarray(params["gate_embedding"]["table_d3"])
+        for name, plan in g_layout.fields.items():
+            rows = g_table[plan["offset"]:plan["offset"]
+                           + plan["spec"]["vocab_size"]]
+            ref.gate_embed_layer.embedding_layer \
+                .embedding_layers[name].weight.copy_(torch.from_numpy(rows))
+        for i in range(2):
+            copy_lin(ref.ppn.mlp_layers[i][0], params[f"mlp_{i}"])
+            gl = [m for m in ref.ppn.gate_layers[i].gate
+                  if isinstance(m, torch.nn.Linear)]
+            copy_lin(gl[0], params[f"gate_{i}"]["fc1"])
+            copy_lin(gl[1], params[f"gate_{i}"]["fc2"])
+        copy_lin(ref.ppn.mlp_layers[-1], params["fc"])
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
