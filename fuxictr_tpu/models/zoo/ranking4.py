@@ -448,20 +448,24 @@ class _DisentangledSelfAttention(nn.Module):
         if self.relu_before_att:
             q, k, v = jax.nn.relu(q), jax.nn.relu(k), jax.nn.relu(v)
         B, F = x.shape[0], x.shape[1]
-        split = lambda t: t.reshape(B, F, H, dh).transpose(0, 2, 1, 3)
+        # reference head "split" is a raw row-major view (DESTINE.py:203-
+        # 217: `view(batch*heads, -1, head_dim)`), which interleaves heads
+        # with fields rather than a transpose split — reproduced exactly
+        split = lambda t: t.reshape(B * H, -1, dh)
         qh, kh, vh = split(q), split(k), split(v)
-        mu_q = qh - qh.mean(axis=2, keepdims=True)
-        mu_k = kh - kh.mean(axis=2, keepdims=True)
-        pair = jnp.einsum("bhqd,bhkd->bhqk", mu_q, mu_k)
+        mu_q = qh - qh.mean(axis=1, keepdims=True)
+        mu_k = kh - kh.mean(axis=1, keepdims=True)
+        pair = jnp.einsum("xqd,xkd->xqk", mu_q, mu_k)
         if self.use_scale:
             pair = pair / dh ** 0.5
         pair = jax.nn.softmax(pair, axis=-1)
-        una = jax.nn.softmax(unary, axis=1).transpose(0, 2, 1)[:, :, None, :]
+        una = jax.nn.softmax(unary, axis=1).reshape(B * H, -1, 1)
+        una = una.transpose(0, 2, 1)                          # [B*H, 1, F]
         attn = pair + una
         if self.dropout_rate > 0:
             attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(B, F, self.attention_dim)
+        out = jnp.einsum("xqk,xkd->xqd", attn, vh)
+        out = out.reshape(B, F, self.attention_dim)
         if self.use_residual:
             out = out + _dense(self.attention_dim, "W_res")(x)
         return out

@@ -1151,3 +1151,64 @@ def test_ppnet_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_destine_forward_parity(tmp_path):
+    """DESTINE: whitened pairwise + unary disentangled attention. Locks the
+    reference's raw-view head split (interleaves heads with fields), which
+    a clean transpose split silently diverges from at num_heads > 1."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_destine", "/root/reference/model_zoo/DESTINE/src/DESTINE.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking4 import DESTINE as OurDESTINE
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    cfg = dict(attention_dim=8, num_heads=2, attention_layers=2,
+               dnn_hidden_units=(16, 8), dnn_activations="relu",
+               net_dropout=0, att_dropout=0, relu_before_att=False,
+               batch_norm=False, use_scale=True, use_wide=True,
+               residual_mode="each_layer")
+    ours = OurDESTINE(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                      **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(dnn_hidden_units=[16, 8], dnn_activations="ReLU")
+    ref = mod.DESTINE(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_lin(lin, p):
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        _copy_lr(params, ref.lr, fm, "embedding_lr")
+        ref.lr.bias.copy_(torch.from_numpy(
+            np.asarray(params["embedding_lr"]["bias"])))
+        for i, att in enumerate(ref.self_attns):
+            p = params[f"self_attn_{i}"]
+            for wn in ("W_q", "W_k", "W_v", "W_unary", "W_res"):
+                if wn in p:
+                    copy_lin(getattr(att, wn), p[wn])
+        copy_lin(ref.attn_fc, params["attn_fc"])
+        lins = [m for m in ref.dnn.mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1", "Dense_2"]):
+            copy_lin(lin, params["dnn"][key])
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
