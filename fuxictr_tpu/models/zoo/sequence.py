@@ -8,6 +8,7 @@ from typing import Any, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -347,21 +348,40 @@ class _BSTNet(nn.Module):
                 [batch[seq_name] != 0,
                  jnp.ones((seq.shape[0], 1), bool)], axis=1)
             if self.use_position_emb:
-                pos = self.param(f"pos_emb_{idx}",
-                                 jax.nn.initializers.normal(1e-4),
+                # learnable, sinusoid-initialized, CONCATENATED (not added)
+                # — BST.py:286-298
+                def _pe_init(key, shape):
+                    Ls, Dp = shape
+                    pos = np.arange(Ls)[:, None].astype(np.float32)
+                    div = np.exp(np.arange(0, Dp, 2, dtype=np.float32)
+                                 * (-np.log(10000.0) / Dp))
+                    pe = np.zeros((Ls, Dp), np.float32)
+                    pe[:, 0::2] = np.sin(pos * div)
+                    pe[:, 1::2] = np.cos(pos * div[:Dp // 2])
+                    return jnp.asarray(pe)
+                pos = self.param(f"pos_emb_{idx}", _pe_init,
                                  (L, self.embedding_dim))
                 seq = jnp.concatenate(
                     [seq, jnp.broadcast_to(pos[None], (seq.shape[0], L,
                                                        self.embedding_dim))],
                     axis=-1)
             model_dim = seq.shape[-1]
+            # BST mask semantics (BST.py:185-208): keys maskable by padding
+            # but the diagonal always attends; optional causal triangle
+            key_pad = ~valid                                 # [B, L]
+            blocked = jnp.repeat(key_pad[:, None, :], L, axis=1)
+            blocked = blocked & ~jnp.eye(L, dtype=bool)[None]
+            if self.use_causal_mask:
+                blocked = blocked | jnp.triu(
+                    jnp.ones((L, L), bool), 1)[None]
             x = seq
             for layer in range(self.stacked_transformer_layers):
                 x = TransformerEncoderLayer(
                     model_dim=model_dim, num_heads=self.num_heads,
-                    ff_dim=4 * model_dim, dropout_rate=self.attention_dropout,
+                    ff_dim=model_dim, dropout_rate=self.attention_dropout,
+                    ffn_activation="leaky_relu",
                     name=f"transformer_{idx}_{layer}")(
-                        x, mask=valid, train=train)
+                        x, attn_mask=~blocked, train=train)
             m = valid[..., None].astype(x.dtype)
             if self.seq_pooling_type == "mean":
                 pooled = (x * m).sum(axis=1) / (m.sum(axis=1) + 1e-12)
@@ -370,7 +390,7 @@ class _BSTNet(nn.Module):
             elif self.seq_pooling_type == "target":
                 pooled = x[:, -1, :]
             elif self.seq_pooling_type == "concat":
-                pooled = _flat(x * m)
+                pooled = _flat(x)    # reference does not re-mask (BST.py:227)
             else:
                 raise ValueError(
                     f"seq_pooling_type={self.seq_pooling_type} not supported.")

@@ -171,9 +171,13 @@ class TransformerEncoderLayer(nn.Module):
     ff_dim: int = 64
     dropout_rate: float = 0.0
     use_ffn: bool = True
+    ffn_activation: str = "relu"    # BST's reference FFN uses leaky_relu
 
     @nn.compact
-    def __call__(self, x, mask=None, train=False):
+    def __call__(self, x, mask=None, attn_mask=None, train=False):
+        """``mask`` [B, L]: valid keys; ``attn_mask`` [B, Lq, Lk]: full
+        allowed-position mask (overrides ``mask``; BST's diagonal-allowed /
+        causal masks need the full form)."""
         head_dim = self.model_dim // self.num_heads
         dense = lambda n, d: nn.Dense(d, kernel_init=xavier_normal(),
                                       bias_init=zeros_init, name=n)
@@ -181,7 +185,9 @@ class TransformerEncoderLayer(nn.Module):
         k = _split_heads(dense("W_k", self.model_dim)(x), self.num_heads)
         v = _split_heads(dense("W_v", self.model_dim)(x), self.num_heads)
         att_mask = None
-        if mask is not None:
+        if attn_mask is not None:
+            att_mask = attn_mask[:, None, :, :]
+        elif mask is not None:
             att_mask = mask[:, None, None, :]
         out, _ = ScaledDotProductAttention(self.dropout_rate)(
             q, k, v, scale=head_dim ** 0.5, mask=att_mask, train=train)
@@ -190,7 +196,9 @@ class TransformerEncoderLayer(nn.Module):
             out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
         x = nn.LayerNorm(epsilon=1e-5)(x + out)
         if self.use_ffn:
-            h = jax.nn.relu(dense("ffn_1", self.ff_dim)(x))
+            act = (jax.nn.leaky_relu if self.ffn_activation == "leaky_relu"
+                   else jax.nn.relu)
+            h = act(dense("ffn_1", self.ff_dim)(x))
             h = dense("ffn_2", self.model_dim)(h)
             if self.dropout_rate > 0:
                 h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)

@@ -1212,3 +1212,107 @@ def test_destine_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bst_forward_parity(tmp_path):
+    """BST: torch-MultiheadAttention transformer over [sequence; target]
+    with concatenated sinusoidal positions, diagonal-allowed padding mask
+    + causal mask, LeakyReLU FFN, post-LN, mean pooling."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_bst", "/root/reference/model_zoo/BST/src/BST.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.sequence import BST as OurBST
+
+    seq_dir = "/root/reference/data/tiny_seq"
+    overrides = {"embedding_dim": EMB_DIM,
+                 "feature_specs": [{"name": "click_sequence",
+                                    "feature_encoder": None}]}
+    fm = FeatureMap("tiny_seq", seq_dir)
+    fm.load(f"{seq_dir}/feature_map.json", overrides)
+    cfg = dict(dnn_hidden_units=(16, 8), dnn_activations="relu",
+               num_heads=2, stacked_transformer_layers=1,
+               attention_dropout=0, net_dropout=0, batch_norm=False,
+               layer_norm=True, use_residual=True,
+               bst_target_field="adgroup_id",
+               bst_sequence_field="click_sequence",
+               seq_pooling_type="mean", use_position_emb=True,
+               use_causal_mask=True)
+    ours = OurBST(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                  **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_seq", seq_dir)
+    ref_fm.load(f"{seq_dir}/feature_map.json", overrides)
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(dnn_hidden_units=[16, 8], dnn_activations="ReLU")
+    ref = mod.BST(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    layout = EmbeddingLayout(fm, EMB_DIM)
+    table = np.asarray(params["embedding"]["table_d4"])
+    with torch.no_grad():
+        for name, plan in layout.fields.items():
+            rows = table[plan["offset"]:plan["offset"]
+                         + plan["spec"]["vocab_size"]]
+            ref.embedding_layer.embedding_layers[name].weight.copy_(
+                torch.from_numpy(rows))
+        bt = ref.transformer_encoders[0]
+        bt.position_emb.copy_(torch.from_numpy(
+            np.asarray(params["pos_emb_0"])))
+        block = bt.transformer_blocks[0]
+        p = params["transformer_0_0"]
+        kT = lambda k: np.asarray(p[k]["kernel"]).T
+        kb = lambda k: np.asarray(p[k]["bias"])
+        block.attention.in_proj_weight.copy_(torch.from_numpy(
+            np.concatenate([kT("W_q"), kT("W_k"), kT("W_v")], axis=0)))
+        block.attention.in_proj_bias.copy_(torch.from_numpy(
+            np.concatenate([kb("W_q"), kb("W_k"), kb("W_v")])))
+        block.attention.out_proj.weight.copy_(torch.from_numpy(kT("W_o")))
+        block.attention.out_proj.bias.copy_(torch.from_numpy(kb("W_o")))
+        ffn = [m for m in block.ffn if isinstance(m, torch.nn.Linear)]
+        ffn[0].weight.copy_(torch.from_numpy(kT("ffn_1")))
+        ffn[0].bias.copy_(torch.from_numpy(kb("ffn_1")))
+        ffn[1].weight.copy_(torch.from_numpy(kT("ffn_2")))
+        ffn[1].bias.copy_(torch.from_numpy(kb("ffn_2")))
+        block.layer_norm1.weight.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_0"]["scale"])))
+        block.layer_norm1.bias.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_0"]["bias"])))
+        block.layer_norm2.weight.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_1"]["scale"])))
+        block.layer_norm2.bias.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_1"]["bias"])))
+        lins = [m for m in ref.dnn.mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1", "Dense_2"]):
+            lin.weight.copy_(torch.from_numpy(
+                np.asarray(params["dnn"][key]["kernel"]).T))
+            lin.bias.copy_(torch.from_numpy(
+                np.asarray(params["dnn"][key]["bias"])))
+
+    raw = np.load(f"{seq_dir}/train.npz", allow_pickle=True)
+    n = 32
+    batch_np = {}
+    for name in list(fm.features) + fm.labels:
+        arr = raw[name][:n]
+        if arr.dtype == object:
+            arr = np.stack(arr)
+        batch_np[name] = arr
+    batch_ours = dict(batch_np)
+    batch_ours["__mask__"] = np.ones(n, np.float32)
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    torch_batch = {c: torch.from_numpy(np.asarray(v, np.int64))
+                   if np.asarray(v).dtype.kind in "iu"
+                   else torch.from_numpy(np.asarray(v, np.float32))
+                   for c, v in batch_np.items()}
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
