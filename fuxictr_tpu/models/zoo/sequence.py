@@ -496,10 +496,12 @@ class _TransActNet(nn.Module):
                     jnp.max(x_masked, axis=1))
                 out.append(pooled)
             concat_emb.append(jnp.concatenate(out, axis=-1))
-        for name, emb in emb_dict.items():
-            if name not in seq_field_names and emb.ndim == 2:
-                concat_emb.append(emb)
-        dcn_in = jnp.concatenate(concat_emb, axis=-1)
+        # reference order (TransAct.py:178-182): dict-order embeddings
+        # (targets in place, sequence fields removed), transformer outputs
+        # appended at the end
+        dict_embs = [emb for name, emb in emb_dict.items()
+                     if name not in seq_field_names and emb.ndim == 2]
+        dcn_in = jnp.concatenate(dict_embs + concat_emb, axis=-1)
         cross = CrossNetV2(dcn_in.shape[-1], self.dcn_cross_layers,
                            name="crossnet")(dcn_in)
         deep = MLP_Block(hidden_units=tuple(self.dcn_hidden_units),

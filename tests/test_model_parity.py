@@ -1316,3 +1316,120 @@ def test_bst_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_transact_forward_parity(tmp_path):
+    """TransAct: torch nn.TransformerEncoder over [seq || target], first-k
+    + masked max pool outputs, DCNv2-parallel fusion head."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_transact",
+        "/root/reference/model_zoo/TransAct/src/TransAct.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.sequence import TransAct as OurTransAct
+
+    seq_dir = "/root/reference/data/tiny_seq"
+    overrides = {"embedding_dim": EMB_DIM,
+                 "feature_specs": [{"name": "click_sequence",
+                                    "feature_encoder": None}]}
+    fm = FeatureMap("tiny_seq", seq_dir)
+    fm.load(f"{seq_dir}/feature_map.json", overrides)
+    cfg = dict(hidden_activations="relu", dcn_cross_layers=2,
+               dcn_hidden_units=(16,), mlp_hidden_units=(8,),
+               num_heads=2, transformer_layers=1, transformer_dropout=0,
+               dim_feedforward=16, net_dropout=0, batch_norm=False,
+               target_item_field="adgroup_id",
+               sequence_item_field="click_sequence",
+               first_k_cols=2, use_time_window_mask=False,
+               concat_max_pool=True)
+    ours = OurTransAct(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                       **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_seq", seq_dir)
+    ref_fm.load(f"{seq_dir}/feature_map.json", overrides)
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(hidden_activations="ReLU", dcn_hidden_units=[16],
+                mlp_hidden_units=[8])
+    ref = mod.TransAct(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_lin(lin, p, bias=True):
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        if bias:
+            lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    layout = EmbeddingLayout(fm, EMB_DIM)
+    table = np.asarray(params["embedding"]["table_d4"])
+    with torch.no_grad():
+        for name, plan in layout.fields.items():
+            rows = table[plan["offset"]:plan["offset"]
+                         + plan["spec"]["vocab_size"]].copy()
+            # torch padding_idx relies on row 0 being zero at init; our
+            # fused table masks pad ids at lookup instead
+            rows[0] = 0.0
+            ref.embedding_layer.embedding_layers[name].weight.copy_(
+                torch.from_numpy(rows))
+        enc_layer = ref.transformer_encoders[0].transformer_encoder.layers[0]
+        p = params["transformer_0_0"]
+        kT = lambda k: np.asarray(p[k]["kernel"]).T
+        kb = lambda k: np.asarray(p[k]["bias"])
+        enc_layer.self_attn.in_proj_weight.copy_(torch.from_numpy(
+            np.concatenate([kT("W_q"), kT("W_k"), kT("W_v")], axis=0)))
+        enc_layer.self_attn.in_proj_bias.copy_(torch.from_numpy(
+            np.concatenate([kb("W_q"), kb("W_k"), kb("W_v")])))
+        enc_layer.self_attn.out_proj.weight.copy_(torch.from_numpy(
+            kT("W_o")))
+        enc_layer.self_attn.out_proj.bias.copy_(torch.from_numpy(kb("W_o")))
+        enc_layer.linear1.weight.copy_(torch.from_numpy(kT("ffn_1")))
+        enc_layer.linear1.bias.copy_(torch.from_numpy(kb("ffn_1")))
+        enc_layer.linear2.weight.copy_(torch.from_numpy(kT("ffn_2")))
+        enc_layer.linear2.bias.copy_(torch.from_numpy(kb("ffn_2")))
+        enc_layer.norm1.weight.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_0"]["scale"])))
+        enc_layer.norm1.bias.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_0"]["bias"])))
+        enc_layer.norm2.weight.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_1"]["scale"])))
+        enc_layer.norm2.bias.copy_(torch.from_numpy(
+            np.asarray(p["LayerNorm_1"]["bias"])))
+        copy_lin(ref.transformer_encoders[0].out_linear,
+                 params["out_linear_0"])
+        for i in range(2):
+            ref.crossnet.cross_layers[i].weight.copy_(torch.from_numpy(
+                np.asarray(params["crossnet"][f"cross_{i}"]["kernel"]).T))
+            ref.crossnet.cross_layers[i].bias.copy_(torch.from_numpy(
+                np.asarray(params["crossnet"][f"cross_{i}"]["bias"])))
+        lins = [m for m in ref.parallel_dnn.mlp
+                if isinstance(m, torch.nn.Linear)]
+        copy_lin(lins[0], params["parallel_dnn"]["Dense_0"])
+        lins = [m for m in ref.mlp.mlp if isinstance(m, torch.nn.Linear)]
+        copy_lin(lins[0], params["mlp"]["Dense_0"])
+        copy_lin(lins[1], params["mlp"]["Dense_1"])
+
+    raw = np.load(f"{seq_dir}/train.npz", allow_pickle=True)
+    n = 32
+    batch_np = {}
+    for name in list(fm.features) + fm.labels:
+        arr = raw[name][:n]
+        if arr.dtype == object:
+            arr = np.stack(arr)
+        batch_np[name] = arr
+    batch_ours = dict(batch_np)
+    batch_ours["__mask__"] = np.ones(n, np.float32)
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    torch_batch = {c: torch.from_numpy(np.asarray(v, np.int64))
+                   if np.asarray(v).dtype.kind in "iu"
+                   else torch.from_numpy(np.asarray(v, np.float32))
+                   for c, v in batch_np.items()}
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
