@@ -13,7 +13,6 @@ import numpy as np
 
 from fuxictr_tpu.models.base import RankModel
 from fuxictr_tpu.models.registry import register_model
-from fuxictr_tpu.ops.attention import MultiHeadSelfAttention
 from fuxictr_tpu.ops.blocks import LogisticRegression
 from fuxictr_tpu.ops.common import Activation, xavier_normal, zeros_init
 from fuxictr_tpu.ops.embedding import FeatureEmbedding
@@ -378,15 +377,34 @@ class _InterHAtNet(nn.Module):
     def __call__(self, batch, train=False):
         D = self.embedding_dim
         X0 = FeatureEmbedding(self.feature_map, D, name="embedding")(batch)
-        X1 = MultiHeadSelfAttention(
-            input_dim=D, attention_dim=self.attention_dim,
-            num_heads=self.num_heads, dropout_rate=self.net_dropout,
-            use_residual=self.use_residual, use_scale=True,
-            layer_norm=self.layer_norm, name="mhsa")(X0, train=train)
-        # feed-forward with residual+LN (width follows the attention output)
-        d_model = X1.shape[-1]
-        hidden = self.hidden_dim or 4 * d_model
-        ffn = _dense(d_model, "ffn_2")(jax.nn.relu(_dense(hidden, "ffn_1")(X1)))
+        # InterHAt's own MHA variant (InterHAt.py:127-213): out_dim =
+        # heads*attention_dim, raw-view head split (interleaves heads with
+        # fields, like DESTINE), W_res back-projection to input_dim, then
+        # relu -> dropout -> +residual -> LN(input_dim)
+        H, A = self.num_heads, self.attention_dim
+        B, F = X0.shape[0], X0.shape[1]
+        q = _dense(H * A, "W_q", use_bias=False)(X0)
+        k = _dense(H * A, "W_k", use_bias=False)(X0)
+        v = _dense(H * A, "W_v", use_bias=False)(X0)
+        split = lambda t: t.reshape(B * H, -1, A)
+        qh, kh, vh = split(q), split(k), split(v)
+        scores = jnp.einsum("xqd,xkd->xqk", qh, kh) / (A ** 0.5)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("xqk,xkd->xqd", attn, vh).reshape(B, F, H * A)
+        if self.use_residual:
+            out = _dense(D, "W_res", use_bias=False)(out)
+        out = jax.nn.relu(out)
+        if self.net_dropout > 0:
+            out = nn.Dropout(self.net_dropout,
+                             deterministic=not train)(out)
+        if self.use_residual:
+            out = out + X0
+        if self.layer_norm:
+            out = nn.LayerNorm(epsilon=1e-5, name="mhsa_ln")(out)
+        X1 = out
+        # feed-forward keeps embedding_dim width (InterHAt.py:253-280)
+        hidden = self.hidden_dim or 4 * D
+        ffn = _dense(D, "ffn_2")(jax.nn.relu(_dense(hidden, "ffn_1")(X1)))
         if self.use_residual:
             ffn = ffn + X1
         if self.layer_norm:

@@ -1433,3 +1433,79 @@ def test_transact_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_interhat_forward_parity(tmp_path):
+    """InterHAt: its own MHA variant (raw-view heads, W_res back-projection,
+    relu->dropout->residual->LN order) + hierarchical aggregation."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_interhat",
+        "/root/reference/model_zoo/InterHAt/src/InterHAt.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking4 import InterHAt as OurInterHAt
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    cfg = dict(hidden_dim=None, order=3, num_heads=2, attention_dim=8,
+               hidden_units=(16, 8), hidden_activations="relu",
+               batch_norm=False, layer_norm=True, use_residual=True,
+               net_dropout=0)
+    ours = OurInterHAt(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                       **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(hidden_units=[16, 8])
+    ref = mod.InterHAt(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_lin(lin, p, bias=True):
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        if bias:
+            lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    def copy_agg(ragg, prefix):
+        lins = [m for m in ragg.agg if isinstance(m, torch.nn.Linear)]
+        copy_lin(lins[0], params[f"{prefix}_1"])
+        copy_lin(lins[1], params[f"{prefix}_2"], bias=False)
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        mha = ref.multi_head_attention
+        for wn in ("W_q", "W_k", "W_v", "W_res"):
+            getattr(mha, wn).weight.copy_(torch.from_numpy(
+                np.asarray(params[wn]["kernel"]).T))
+        mha.layer_norm.weight.copy_(torch.from_numpy(
+            np.asarray(params["mhsa_ln"]["scale"])))
+        mha.layer_norm.bias.copy_(torch.from_numpy(
+            np.asarray(params["mhsa_ln"]["bias"])))
+        ffn = [m for m in ref.feedforward.ffn
+               if isinstance(m, torch.nn.Linear)]
+        copy_lin(ffn[0], params["ffn_1"])
+        copy_lin(ffn[1], params["ffn_2"])
+        ref.feedforward.layer_norm.weight.copy_(torch.from_numpy(
+            np.asarray(params["ffn_ln"]["scale"])))
+        ref.feedforward.layer_norm.bias.copy_(torch.from_numpy(
+            np.asarray(params["ffn_ln"]["bias"])))
+        for p_i, ragg in enumerate(ref.aggregation_layers):
+            copy_agg(ragg, f"agg_{p_i}")
+        copy_agg(ref.attentional_score, "score")
+        lins = [m for m in ref.mlp.mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1", "Dense_2"]):
+            copy_lin(lin, params["mlp"][key])
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
