@@ -1509,3 +1509,99 @@ def test_interhat_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_ple_forward_parity(tmp_path):
+    """PLE (2 CGC layers): task-specific + shared experts, per-task gates,
+    shared-route gate feeding the next layer."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_ple", "/root/reference/model_zoo/multitask/PLE/src/PLE.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.multitask_zoo import PLE as OurPLE
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    fm.labels = ["clk", "conv"]
+    cfg = dict(num_layers=2, num_shared_experts=2, num_specific_experts=1,
+               expert_hidden_units=(16,), gate_hidden_units=(8,),
+               tower_hidden_units=(8,), hidden_activations="relu",
+               net_dropout=0, batch_norm=False)
+    ours = OurPLE(fm, embedding_dim=EMB_DIM, num_tasks=2,
+                  task=["binary_classification", "binary_classification"],
+                  model_root=str(tmp_path), **cfg)
+    orig = ours._example_batch
+
+    def example_batch(batch_size=2):
+        b = orig(batch_size)
+        b["conv"] = np.zeros(batch_size, np.float32)
+        return b
+    ours._example_batch = example_batch
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    ref_fm.labels = ["clk", "conv"]
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm", "task"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(expert_hidden_units=[16], gate_hidden_units=[8],
+                tower_hidden_units=[8], hidden_activations="ReLU")
+    ref = mod.PLE(ref_fm, num_tasks=2,
+                  task=["binary_classification", "binary_classification"],
+                  **rcfg, **kwargs)
+    ref.eval()
+
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    layout = EmbeddingLayout(fm, EMB_DIM)
+    table = np.asarray(params["embedding"]["table_d4"])
+
+    def copy_mlp(ref_mlp, our_params, keys):
+        lins = [m for m in ref_mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, keys):
+            lin.weight.copy_(torch.from_numpy(
+                np.asarray(our_params[key]["kernel"]).T))
+            lin.bias.copy_(torch.from_numpy(
+                np.asarray(our_params[key]["bias"])))
+
+    with torch.no_grad():
+        emb_layers = ref.embedding_layer.embedding_layer.embedding_layers
+        for name, plan in layout.fields.items():
+            rows = table[plan["offset"]:plan["offset"]
+                         + plan["spec"]["vocab_size"]]
+            emb_layers[name].weight.copy_(torch.from_numpy(rows))
+        for li, cgc in enumerate(ref.cgc_layers):
+            p = params[f"cgc_{li}"]
+            for t in range(2):
+                copy_mlp(cgc.specific_experts[t][0].mlp,
+                         p[f"specific_{t}_0"], ["Dense_0"])
+            for k in range(2):
+                copy_mlp(cgc.shared_experts[k].mlp,
+                         p[f"shared_{k}"], ["Dense_0"])
+            for g in range(3):
+                if f"gate_{g}" in p:
+                    copy_mlp(cgc.gate[g].mlp, p[f"gate_{g}"],
+                             ["Dense_0", "Dense_1"])
+        for t in range(2):
+            copy_mlp(ref.tower[t].mlp, params[f"tower_{t}"],
+                     ["Dense_0", "Dense_1"])
+
+    import pandas as pd
+    df = pd.read_parquet(f"{DATA_DIR}/train.parquet").head(32)
+    batch_np = {c: df[c].to_numpy() for c in df.columns}
+    batch_np["conv"] = batch_np["clk"]
+    batch_ours = dict(batch_np)
+    batch_ours["__mask__"] = np.ones(len(df), np.float32)
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    torch_batch = {c: torch.from_numpy(np.asarray(v)) for c, v in
+                   batch_np.items()}
+    with torch.no_grad():
+        out = ref.forward(torch_batch)
+    ref_pred = np.stack([out["clk_pred"].numpy().reshape(-1),
+                         out["conv_pred"].numpy().reshape(-1)], axis=1)
+    np.testing.assert_allclose(np.asarray(pred), ref_pred,
+                               rtol=1e-4, atol=1e-5)
