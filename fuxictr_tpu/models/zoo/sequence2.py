@@ -24,12 +24,17 @@ def _dense(units, name, use_bias=True):
                     bias_init=zeros_init, name=name)
 
 
-def _attn_mask(valid):
+def _attn_mask(valid, causal=False):
     """[B, L, L]: attend to valid positions; diagonal always on (so fully
-    padded rows stay finite)."""
+    padded rows stay finite); optional causal triangle (DMIN.py:218-240
+    always applies causal + diagonal-allowed)."""
     L = valid.shape[1]
     m = jnp.broadcast_to(valid[:, None, :], (valid.shape[0], L, L))
-    return m | jnp.eye(L, dtype=bool)[None]
+    m = m | jnp.eye(L, dtype=bool)[None]
+    if causal:
+        m = m & ~jnp.triu(jnp.ones((L, L), bool), 1)[None]
+        m = m | jnp.eye(L, dtype=bool)[None]
+    return m
 
 
 # ------------------------------------------------------------------- DMIN
@@ -62,16 +67,23 @@ class _DMINNet(nn.Module):
     layer_norm: bool = True
 
     def _refine(self, idx, x, attn_mask, train):
-        """MHSA + FFN with residual/LN (DMIN.py BehaviorRefinerLayer)."""
+        """MHSA + FFN with residual/LN (DMIN.py BehaviorRefinerLayer).
+
+        The reference passes its boolean allowed-mask to torch
+        MultiheadAttention as ``1 - mask.float()`` (DMIN.py:327) — a FLOAT
+        mask, which torch treats as an ADDITIVE bias: blocked positions
+        get scores + 1.0 instead of -inf. Reproduced bit-for-bit."""
         D = x.shape[-1]
         H = self.num_heads
         dh = D // H
-        qkv = _dense(3 * D, f"refiner_qkv_{idx}", use_bias=False)(x)
+        qkv = _dense(3 * D, f"refiner_qkv_{idx}")(x)   # torch MHA in_proj
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(t.shape[0], -1, H, dh).transpose(0, 2, 1, 3)
-        out, _ = scaled_dot_product_attention(
-            split(q), split(k), split(v), scale=dh ** 0.5,
-            mask=attn_mask[:, None])
+        qh, kh, vh = split(q), split(k), split(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / (dh ** 0.5)
+        scores = scores + (1.0 - attn_mask[:, None].astype(scores.dtype))
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape)
         out = _dense(D, f"refiner_o_{idx}")(out)
         if self.net_dropout > 0:
@@ -89,7 +101,7 @@ class _DMINNet(nn.Module):
         B, L, D = sequence_emb.shape
         t = jnp.broadcast_to(target_emb[:, None, :], (B, L, D))
         if self.use_pos_emb:
-            pos = self.param(f"{name}_pos", jax.nn.initializers.normal(1e-4),
+            pos = self.param(f"{name}_pos", zeros_init,
                              (L, self.pos_emb_dim))
             t = jnp.concatenate(
                 [t, jnp.broadcast_to(pos[None], (B, L, self.pos_emb_dim))],
@@ -126,7 +138,7 @@ class _DMINNet(nn.Module):
             sequence_emb = _concat_field_emb(emb_dict, s_field)
             seq_name = _field_names(s_field)[0]
             pad_mask = jnp.asarray(batch[seq_name]) > 0
-            am = _attn_mask(pad_mask)
+            am = _attn_mask(pad_mask, causal=True)
             refined = self._refine(i, sequence_emb, am, train) \
                 if self.use_behavior_refiner else sequence_emb
             # multi-interest extractor: shared QKV, per-head towers
@@ -141,7 +153,7 @@ class _DMINNet(nn.Module):
                 split(q), split(k), split(v), scale=dh ** 0.5,
                 mask=am[:, None])                            # [B, H, L, dh]
             for h in range(H):
-                s = _dense(D, f"mie_o_{i}_{h}")(heads[:, h])
+                s = _dense(D, f"mie_o_{i}_{h}", use_bias=False)(heads[:, h])
                 if self.net_dropout > 0:
                     s = nn.Dropout(self.net_dropout,
                                    deterministic=not train)(s)

@@ -1605,3 +1605,119 @@ def test_ple_forward_parity(tmp_path):
                          out["conv_pred"].numpy().reshape(-1)], axis=1)
     np.testing.assert_allclose(np.asarray(pred), ref_pred,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dmin_forward_parity(tmp_path):
+    """DMIN: behavior refiner (torch-MHA with the reference's additive
+    float-mask quirk), per-head multi-interest extractor, pos-emb target
+    attention — causal+diagonal masking throughout."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_dmin", "/root/reference/model_zoo/DMIN/src/DMIN.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.sequence2 import DMIN as OurDMIN
+
+    seq_dir = "/root/reference/data/tiny_seq"
+    overrides = {"embedding_dim": EMB_DIM,
+                 "feature_specs": [{"name": "click_sequence",
+                                    "feature_encoder": None}]}
+    fm = FeatureMap("tiny_seq", seq_dir)
+    fm.load(f"{seq_dir}/feature_map.json", overrides)
+    cfg = dict(dnn_hidden_units=(16, 8), dnn_activations="relu",
+               net_dropout=0, target_field="adgroup_id",
+               sequence_field="click_sequence", neg_seq_field=None,
+               num_heads=2, enable_sum_pooling=False,
+               attention_hidden_units=(8,), attention_activation="relu",
+               attention_dropout=0, use_pos_emb=True, pos_emb_dim=3,
+               use_behavior_refiner=True, aux_loss_lambda=0,
+               batch_norm=False, layer_norm=True)
+    ours = OurDMIN(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                   **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_seq", seq_dir)
+    ref_fm.load(f"{seq_dir}/feature_map.json", overrides)
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(dnn_hidden_units=[16, 8], dnn_activations="ReLU",
+                attention_hidden_units=[8], attention_activation="ReLU")
+    ref = mod.DMIN(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_lin(lin, p, bias=True):
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        if bias:
+            lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    layout = EmbeddingLayout(fm, EMB_DIM)
+    table = np.asarray(params["embedding"]["table_d4"])
+    with torch.no_grad():
+        for name, plan in layout.fields.items():
+            rows = table[plan["offset"]:plan["offset"]
+                         + plan["spec"]["vocab_size"]].copy()
+            rows[0] = 0.0      # torch padding_idx rows are zero-initialized
+            ref.embedding_layer.embedding_layers[name].weight.copy_(
+                torch.from_numpy(rows))
+        br = ref.behavior_refiner[0]
+        br.attention.in_proj_weight.copy_(torch.from_numpy(
+            np.asarray(params["refiner_qkv_0"]["kernel"]).T))
+        br.attention.in_proj_bias.copy_(torch.from_numpy(
+            np.asarray(params["refiner_qkv_0"]["bias"])))
+        copy_lin(br.attention.out_proj, params["refiner_o_0"])
+        br.layer_norm.weight.copy_(torch.from_numpy(
+            np.asarray(params["refiner_ln_0"]["scale"])))
+        br.layer_norm.bias.copy_(torch.from_numpy(
+            np.asarray(params["refiner_ln_0"]["bias"])))
+        ffn = [m for m in br.ffn if isinstance(m, torch.nn.Linear)]
+        copy_lin(ffn[0], params["refiner_ffn1_0"])
+        copy_lin(ffn[1], params["refiner_ffn2_0"])
+        mie = ref.multi_interest_extractor[0]
+        mie.W_qkv.weight.copy_(torch.from_numpy(
+            np.asarray(params["mie_qkv_0"]["kernel"]).T))
+        for h in range(2):
+            mie.W_o[h].weight.copy_(torch.from_numpy(
+                np.asarray(params[f"mie_o_0_{h}"]["kernel"]).T))
+            mie.layer_norm[h].weight.copy_(torch.from_numpy(
+                np.asarray(params[f"mie_ln_0_{h}"]["scale"])))
+            mie.layer_norm[h].bias.copy_(torch.from_numpy(
+                np.asarray(params[f"mie_ln_0_{h}"]["bias"])))
+            ffn = [m for m in mie.ffn[h] if isinstance(m, torch.nn.Linear)]
+            copy_lin(ffn[0], params[f"mie_ffn1_0_{h}"])
+            copy_lin(ffn[1], params[f"mie_ffn2_0_{h}"])
+            ta = mie.target_attention[h]
+            ta.pos_emb.copy_(torch.from_numpy(
+                np.asarray(params[f"ta_0_{h}_pos"])))
+            copy_lin(ta.W_proj, params[f"ta_0_{h}_proj"])
+            lins = [m for m in ta.attn_mlp.mlp
+                    if isinstance(m, torch.nn.Linear)]
+            copy_lin(lins[0], params[f"ta_0_{h}_mlp"]["Dense_0"])
+            copy_lin(lins[1], params[f"ta_0_{h}_mlp"]["Dense_1"])
+        lins = [m for m in ref.dnn.mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1", "Dense_2"]):
+            copy_lin(lin, params["dnn"][key])
+
+    raw = np.load(f"{seq_dir}/train.npz", allow_pickle=True)
+    n = 32
+    batch_np = {}
+    for name in list(fm.features) + fm.labels:
+        arr = raw[name][:n]
+        if arr.dtype == object:
+            arr = np.stack(arr)
+        batch_np[name] = arr
+    batch_ours = dict(batch_np)
+    batch_ours["__mask__"] = np.ones(n, np.float32)
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    torch_batch = {c: torch.from_numpy(np.asarray(v, np.int64))
+                   if np.asarray(v).dtype.kind in "iu"
+                   else torch.from_numpy(np.asarray(v, np.float32))
+                   for c, v in batch_np.items()}
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
