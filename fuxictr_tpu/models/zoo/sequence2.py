@@ -331,14 +331,14 @@ class _DMRNet(nn.Module):
             if context_emb is not None:
                 ctx = jnp.concatenate([ctx, context_emb], axis=-1)
             if self.use_pos_emb:
-                pos = self.param(f"i2i_pos_{i}",
-                                 jax.nn.initializers.normal(1e-4),
+                pos = self.param(f"i2i_pos_{i}", zeros_init,
                                  (L, self.pos_emb_dim))
                 ctx = jnp.concatenate(
                     [ctx, jnp.broadcast_to(pos[None],
                                            (B, L, self.pos_emb_dim))],
                     axis=-1)
-            query = _dense(D, f"i2i_Wq_{i}", use_bias=False)(ctx)
+            # ref W_q = Linear(+bias) + ReLU (DMR.py:309-310)
+            query = jax.nn.relu(_dense(D, f"i2i_Wq_{i}")(ctx))
             score = self._din_score(f"i2i_{i}", query, sequence_emb, train)
             soft = jax.nn.softmax(
                 jnp.where(pad_mask, score, _NEG_INF), axis=-1)
@@ -353,8 +353,7 @@ class _DMRNet(nn.Module):
             if self.enable_u2i_rel:
                 target2 = self._out_emb(out_tables, t_field, t_field, batch)
                 seq2 = self._out_emb(out_tables, s_field, t_field, batch)
-                pos_u = self.param(f"u2i_pos_{i}",
-                                   jax.nn.initializers.normal(1e-4),
+                pos_u = self.param(f"u2i_pos_{i}", zeros_init,
                                    (L, self.pos_emb_dim))
                 uctx = jnp.broadcast_to(pos_u[None], (B, L, self.pos_emb_dim))
                 if c_field is not None:
@@ -362,7 +361,7 @@ class _DMRNet(nn.Module):
                         [ctx_tables[f](jnp.asarray(batch[f]).astype(jnp.int32))
                          for f in _field_names(c_field)], axis=-1)
                     uctx = jnp.concatenate([uctx, ctx2], axis=-1)
-                uquery = _dense(D, f"u2i_Wq_{i}", use_bias=False)(uctx)
+                uquery = jax.nn.relu(_dense(D, f"u2i_Wq_{i}")(uctx))
                 uscore = self._din_score(f"u2i_{i}", uquery, sequence_emb,
                                          train)
                 # causal per-position attention over valid prefix + diagonal
@@ -372,7 +371,8 @@ class _DMRNet(nn.Module):
                 expand = jnp.where(am, uscore[:, None, :], _NEG_INF)
                 expand = jax.nn.softmax(expand, axis=-1)
                 user_embs = jnp.einsum("bql,bld->bqd", expand, sequence_emb)
-                user_embs = _dense(D, f"u2i_Wo_{i}", use_bias=False)(user_embs)
+                user_embs = jax.nn.relu(
+                    _dense(D, f"u2i_Wo_{i}")(user_embs))   # Linear+ReLU
                 rel_u2i = jnp.sum(user_embs[:, -1, :] * target2, axis=-1,
                                   keepdims=True)
                 concat_emb.append(rel_u2i)

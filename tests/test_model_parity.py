@@ -1721,3 +1721,104 @@ def test_dmin_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dmr_forward_parity(tmp_path):
+    """DMR: item2item attention (+rel score) and user2item network with
+    output-vocab embeddings, causal per-position softmax, pos embeddings."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_dmr", "/root/reference/model_zoo/DMR/src/DMR.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.sequence2 import DMR as OurDMR
+
+    seq_dir = "/root/reference/data/tiny_seq"
+    overrides = {"embedding_dim": EMB_DIM,
+                 "feature_specs": [{"name": "click_sequence",
+                                    "feature_encoder": None}]}
+    fm = FeatureMap("tiny_seq", seq_dir)
+    fm.load(f"{seq_dir}/feature_map.json", overrides)
+    cfg = dict(dnn_hidden_units=(16, 8), dnn_activations="relu",
+               net_dropout=0, batch_norm=False,
+               target_field="adgroup_id", sequence_field="click_sequence",
+               neg_seq_field=None, context_field=None,
+               enable_sum_pooling=False, enable_u2i_rel=True,
+               enable_i2i_rel=True, attention_hidden_units=(8,),
+               attention_activation="relu", attention_dropout=0,
+               use_pos_emb=True, pos_emb_dim=3, aux_loss_beta=0)
+    ours = OurDMR(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                  **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_seq", seq_dir)
+    ref_fm.load(f"{seq_dir}/feature_map.json", overrides)
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(dnn_hidden_units=[16, 8], dnn_activations="ReLU",
+                attention_hidden_units=[8], attention_activation="ReLU")
+    ref = mod.DMR(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_lin(lin, p, bias=True):
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        if bias:
+            lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    from fuxictr_tpu.ops.embedding import EmbeddingLayout
+    layout = EmbeddingLayout(fm, EMB_DIM)
+    table = np.asarray(params["embedding"]["table_d4"])
+    with torch.no_grad():
+        for name, plan in layout.fields.items():
+            rows = table[plan["offset"]:plan["offset"]
+                         + plan["spec"]["vocab_size"]].copy()
+            rows[0] = 0.0
+            ref.embedding_layer.embedding_layers[name].weight.copy_(
+                torch.from_numpy(rows))
+        out_rows = np.asarray(params["out_emb_adgroup_id"]["embedding"])
+        out_rows = out_rows.copy()
+        out_rows[0] = 0.0
+        ref.output_emb_layer["adgroup_id"].weight.copy_(
+            torch.from_numpy(out_rows))
+        i2i = ref.i2i_net[0]
+        copy_lin(i2i.W_q[0], params["i2i_Wq_0"])
+        i2i.pos_emb.copy_(torch.from_numpy(np.asarray(params["i2i_pos_0"])))
+        lins = [m for m in i2i.attn_mlp.mlp
+                if isinstance(m, torch.nn.Linear)]
+        copy_lin(lins[0], params["i2i_0_mlp"]["Dense_0"])
+        copy_lin(lins[1], params["i2i_0_mlp"]["Dense_1"])
+        u2i = ref.u2i_net[0]
+        copy_lin(u2i.W_q[0], params["u2i_Wq_0"])
+        copy_lin(u2i.W_o[0], params["u2i_Wo_0"])
+        u2i.pos_emb.copy_(torch.from_numpy(np.asarray(params["u2i_pos_0"])))
+        lins = [m for m in u2i.attn_mlp.mlp
+                if isinstance(m, torch.nn.Linear)]
+        copy_lin(lins[0], params["u2i_0_mlp"]["Dense_0"])
+        copy_lin(lins[1], params["u2i_0_mlp"]["Dense_1"])
+        lins = [m for m in ref.dnn.mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1", "Dense_2"]):
+            copy_lin(lin, params["dnn"][key])
+
+    raw = np.load(f"{seq_dir}/train.npz", allow_pickle=True)
+    n = 32
+    batch_np = {}
+    for name in list(fm.features) + fm.labels:
+        arr = raw[name][:n]
+        if arr.dtype == object:
+            arr = np.stack(arr)
+        batch_np[name] = arr
+    batch_ours = dict(batch_np)
+    batch_ours["__mask__"] = np.ones(n, np.float32)
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    torch_batch = {c: torch.from_numpy(np.asarray(v, np.int64))
+                   if np.asarray(v).dtype.kind in "iu"
+                   else torch.from_numpy(np.asarray(v, np.float32))
+                   for c, v in batch_np.items()}
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
