@@ -1822,3 +1822,89 @@ def test_dmr_forward_parity(tmp_path):
         ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fgcnn_forward_parity(tmp_path):
+    """FGCNN: conv feature generation over the field axis + recombination
+    (layout permutation NHWC vs NCHW) + IPNN head over raw+generated."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_fgcnn", "/root/reference/model_zoo/FGCNN/src/FGCNN.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from fuxictr_tpu.models.zoo.ranking4 import FGCNN as OurFGCNN
+
+    fm = FeatureMap("tiny_parquet", DATA_DIR)
+    fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    cfg = dict(share_embedding=False, channels=(3, 4),
+               kernel_heights=(3, 3), pooling_sizes=(2, 2),
+               recombined_channels=(2, 2), conv_activation="tanh",
+               conv_batch_norm=False, dnn_hidden_units=(16, 8),
+               dnn_activations="relu", dnn_batch_norm=False, net_dropout=0)
+    ours = OurFGCNN(fm, embedding_dim=EMB_DIM, model_root=str(tmp_path),
+                    **cfg)
+    ours.init_params()
+    params = jax.device_get(ours.state.params)
+
+    ref_fm = RefFM("tiny_parquet", DATA_DIR)
+    ref_fm.load(FM_JSON, {"embedding_dim": EMB_DIM})
+    kwargs = dict(REF_KWARGS)
+    for k in ("hidden_units", "hidden_activations", "net_dropout",
+              "batch_norm"):
+        kwargs.pop(k)
+    rcfg = dict(cfg)
+    rcfg.update(channels=[3, 4], kernel_heights=[3, 3],
+                pooling_sizes=[2, 2], recombined_channels=[2, 2],
+                dnn_hidden_units=[16, 8], dnn_activations="ReLU")
+    ref = mod.FGCNN(ref_fm, **rcfg, **kwargs)
+    ref.eval()
+
+    def copy_lin(lin, p):
+        lin.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        lin.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    with torch.no_grad():
+        _copy_fused_table(params, ref, fm, EMB_DIM)
+        # fg (conv-input) embedding: separate fused table
+        from fuxictr_tpu.ops.embedding import EmbeddingLayout
+        layout = EmbeddingLayout(fm, EMB_DIM)
+        fg_table = np.asarray(params["fg_embedding"][f"table_d{EMB_DIM}"])
+        for name, plan in layout.fields.items():
+            rows = fg_table[plan["offset"]:plan["offset"]
+                            + plan["spec"]["vocab_size"]]
+            ref.fg_embedding_layer.embedding_layer \
+                .embedding_layers[name].weight.copy_(torch.from_numpy(rows))
+        heights = []
+        H = fm.num_fields
+        for ps in (2, 2):
+            H = int(np.ceil(H / ps))
+            heights.append(H)
+        for i in range(2):
+            conv = [m for m in ref.fgcnn_layer.conv_layers[i]
+                    if isinstance(m, torch.nn.Conv2d)][0]
+            k = np.asarray(params[f"conv_{i}"]["kernel"])  # [kh,1,in,out]
+            conv.weight.copy_(torch.from_numpy(
+                k.transpose(3, 2, 0, 1)))                  # [out,in,kh,1]
+            conv.bias.copy_(torch.from_numpy(
+                np.asarray(params[f"conv_{i}"]["bias"])))
+            rec = [m for m in ref.fgcnn_layer.recombine_layers[i]
+                   if isinstance(m, torch.nn.Linear)][0]
+            rk = np.asarray(params[f"recombine_{i}"]["kernel"])
+            Hh, D, C = heights[i], EMB_DIM, (3, 4)[i]
+            # our flat input ordering is (h, d, c) [NHWC]; torch flattens
+            # (c, h, d) [NCHW] — permute the input rows
+            rk = rk.reshape(Hh, D, C, -1).transpose(2, 0, 1, 3) \
+                .reshape(C * Hh * D, -1)
+            rec.weight.copy_(torch.from_numpy(rk.T))
+            rec.bias.copy_(torch.from_numpy(
+                np.asarray(params[f"recombine_{i}"]["bias"])))
+        lins = [m for m in ref.dnn.mlp if isinstance(m, torch.nn.Linear)]
+        for lin, key in zip(lins, ["Dense_0", "Dense_1", "Dense_2"]):
+            copy_lin(lin, params["dnn"][key])
+
+    batch_ours, torch_batch = _fixture_batch()
+    pred = ours._make_predict_step()(ours.state, jax.device_put(batch_ours))
+    with torch.no_grad():
+        ref_out = ref.forward(torch_batch)["y_pred"].numpy().reshape(-1)
+    np.testing.assert_allclose(np.asarray(pred).reshape(-1), ref_out,
+                               rtol=1e-4, atol=1e-5)
