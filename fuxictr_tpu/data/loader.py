@@ -136,33 +136,74 @@ class BlockStreamingDataLoader(_BaseLoader):
             yield block
 
     def __iter__(self):
-        rng = None
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             self._epoch += 1
+            yield from self._shuffled_iter(rng)
+            return
         bs = self.batch_size
         pending = None  # ragged tail rows carried between blocks
-        for block in self._block_iter(rng):
+        for block in self._block_iter(None):
             if pending is not None:
                 block = {k: np.concatenate([pending[k], block[k]])
                          for k in block}
             n = len(next(iter(block.values())))
-            order = np.arange(n)
-            if rng is not None:
-                rng.shuffle(order)
             full = (n // bs) * bs
             for start in range(0, full, bs):
-                idx = order[start:start + bs]
-                batch = {k: v[idx] for k, v in block.items()}
+                batch = {k: v[start:start + bs] for k, v in block.items()}
                 batch[SAMPLE_MASK_KEY] = np.ones(bs, dtype=np.float32)
                 yield batch
-            if full < n:
-                tail = order[full:]
-                pending = {k: v[tail] for k, v in block.items()}
-            else:
-                pending = None
+            pending = ({k: v[full:] for k, v in block.items()}
+                       if full < n else None)
         if pending is not None:
             batch, mask = _pad_batch(pending, bs)
+            batch[SAMPLE_MASK_KEY] = mask
+            yield batch
+
+    def _shuffled_iter(self, rng):
+        """Cross-block shuffle buffer (reference semantics:
+        parquet_block_dataloader.py:91, torchdata shuffle w/ buffer_size
+        100k), vectorized at batch granularity: keep a ``buffer_size``-row
+        reservoir; every emitted batch is a uniform without-replacement
+        sample of the reservoir, whose slots are refilled from the incoming
+        part stream. Mixes rows ACROSS part files, unlike a per-block
+        shuffle."""
+        bs = self.batch_size
+        cap = self.buffer_size
+        buf = None
+        free = None          # indices of reusable slots in buf
+        for block in self._block_iter(rng):
+            n = len(next(iter(block.values())))
+            pos = 0
+            if buf is None:  # allocate the reservoir from the first block
+                buf = {k: np.empty((cap,) + v.shape[1:], v.dtype)
+                       for k, v in block.items()}
+                free = np.arange(cap)
+            while pos < n:
+                if free.size:
+                    take = min(free.size, n - pos)
+                    slots = free[:take]
+                    for k, v in block.items():
+                        buf[k][slots] = v[pos:pos + take]
+                    free = free[take:]
+                    pos += take
+                if not free.size:   # reservoir full → emit one batch
+                    idx = rng.choice(cap, size=bs, replace=False)
+                    batch = {k: v[idx] for k, v in buf.items()}
+                    batch[SAMPLE_MASK_KEY] = np.ones(bs, dtype=np.float32)
+                    yield batch
+                    free = idx
+        if buf is None:
+            return
+        # drain: shuffle the remaining occupied slots
+        occupied = np.ones(cap, dtype=bool)
+        occupied[free] = False
+        order = np.flatnonzero(occupied)
+        rng.shuffle(order)
+        for start in range(0, order.size, bs):
+            idx = order[start:start + bs]
+            batch = {k: v[idx] for k, v in buf.items()}
+            batch, mask = _pad_batch(batch, bs)
             batch[SAMPLE_MASK_KEY] = mask
             yield batch
 

@@ -2,10 +2,10 @@
 
 Same metric surface as the reference (/root/reference/fuxictr/metrics.py:26-189):
 logloss/binary_crossentropy, AUC, and grouped gAUC/avgAUC/MRR/NDCG@k. Scalar
-metrics defer to sklearn for exact tie-handling parity. Grouped metrics are
-computed with a vectorized sort-once pass over (group, score) instead of the
-reference's per-group multiprocessing pool — a better fit for a host driving
-a TPU (no fork storms, no pickling overhead).
+metrics defer to sklearn for exact tie-handling parity. Grouped metrics run
+as a vectorized sort-once pass (``grouped_metrics``) — two lexsorts + segment
+reductions total, instead of the reference's per-group multiprocessing pool —
+a better fit for a host driving a TPU (no fork storms, no pickling overhead).
 
 Metric names are resolved via an explicit registry (no ``eval``).
 """
@@ -13,7 +13,6 @@ Metric names are resolved via an explicit registry (no ``eval``).
 from collections import OrderedDict
 
 import numpy as np
-import pandas as pd
 from sklearn.metrics import log_loss, roc_auc_score
 
 
@@ -33,20 +32,107 @@ def evaluate_metrics(y_true, y_pred, metrics, group_id=None):
             raise ValueError(f"metric={metric} not supported.")
     if group_metrics:
         assert group_id is not None, "group_id is required for grouped metrics."
-        fns = [_resolve_group_metric(m) for m in group_metrics]
-        score_df = pd.DataFrame({
-            "group_index": group_id, "y_true": y_true, "y_pred": y_pred})
-        sums = np.zeros((len(fns), 2), dtype=np.float64)
-        for _, df in score_df.groupby("group_index"):
-            yt, yp = df["y_true"].to_numpy(), df["y_pred"].to_numpy()
-            for i, fn in enumerate(fns):
-                v = fn(yt, yp)
-                if not isinstance(v, tuple):
-                    v = (v, 1)
-                sums[i] += v
-        for name, (num, den) in zip(group_metrics, sums):
-            return_dict[name] = num / den if den > 0 else 0.0
+        return_dict.update(
+            grouped_metrics(y_true, y_pred, group_id, group_metrics))
     return return_dict
+
+
+def _parse_ndcg_k(metric):
+    """'NDCG' or 'NDCG(k=10)' → cutoff k."""
+    k = 1
+    if "(" in metric:
+        arg = metric[metric.index("(") + 1:metric.rindex(")")]
+        k = int(arg.split("=")[-1]) if arg else 1
+    return k
+
+
+def grouped_metrics(y_true, y_pred, group_id, metrics):
+    """Vectorized grouped metrics: at most two lexsorts + segment reductions
+    over the whole array, regardless of group count.
+
+    Replaces the reference's per-group multiprocessing pool
+    (/root/reference/fuxictr/metrics.py:57-77) — at millions of groups that
+    pool serializes eval on the host while the TPU idles. Semantics parity:
+
+    - group AUC = Mann-Whitney with average ranks over ties, which equals
+      sklearn's trapezoid ROC AUC exactly; single-class groups are skipped
+      (weight 0), as in the reference's gAUC/avgAUC (metrics.py:99-130).
+    - gAUC weights each group's AUC by its size; avgAUC weights equally.
+    - MRR/NDCG sort by descending pred and average with weight 1 over ALL
+      groups (metrics.py:132-165). Deliberate divergence: on exactly tied
+      scores the reference's ``np.argsort`` (unstable quicksort) yields an
+      implementation-defined order; this pass uses a deterministic one
+      (later row first among ties). Untied scores match exactly.
+    """
+    y_true = np.ascontiguousarray(np.asarray(y_true, dtype=np.float64))
+    y_pred = np.ascontiguousarray(np.asarray(y_pred, dtype=np.float64))
+    n = y_true.shape[0]
+    group_idx = np.unique(np.asarray(group_id), return_inverse=True)[1]
+    out = OrderedDict()
+
+    auc_metrics = [m for m in metrics if m in ("gAUC", "avgAUC")]
+    rank_metrics = [m for m in metrics
+                    if m == "MRR" or m.startswith("NDCG")]
+
+    if auc_metrics:
+        # one ascending lexsort: (group, pred)
+        order = np.lexsort((y_pred, group_idx))
+        g, yp, yt = group_idx[order], y_pred[order], y_true[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        rank = (np.arange(n) - np.repeat(starts, counts) + 1).astype(
+            np.float64)
+        # average rank across tie runs (same group AND same score)
+        run_mask = np.r_[True, (g[1:] != g[:-1]) | (yp[1:] != yp[:-1])]
+        run_starts = np.flatnonzero(run_mask)
+        run_counts = np.diff(np.r_[run_starts, n])
+        avg_rank = rank[run_starts] + (run_counts - 1) / 2.0
+        rank = avg_rank[np.cumsum(run_mask) - 1]
+        n_pos = np.add.reduceat(yt, starts)
+        n_all = counts.astype(np.float64)
+        n_neg = n_all - n_pos
+        sum_rank_pos = np.add.reduceat(rank * yt, starts)
+        valid = (n_pos > 0) & (n_neg > 0)
+        auc_g = (sum_rank_pos - n_pos * (n_pos + 1) / 2.0) \
+            / np.where(valid, n_pos * n_neg, 1.0)
+        for m in auc_metrics:
+            if not np.any(valid):
+                out[m] = 0.0
+            elif m == "gAUC":
+                w = n_all * valid
+                out[m] = float(np.sum(auc_g * w) / np.sum(w))
+            else:
+                out[m] = float(np.sum(auc_g[valid])
+                               / np.count_nonzero(valid))
+
+    if rank_metrics:
+        # one descending lexsort: (group asc, pred desc, row desc) — the
+        # exact tie order of np.argsort(y_pred)[::-1] in the reference
+        order = np.lexsort((-np.arange(n), -y_pred, group_idx))
+        g, yt = group_idx[order], y_true[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, counts)   # 0-based in-group
+        yt_ideal = None
+        for m in rank_metrics:
+            if m == "MRR":
+                per_group = np.add.reduceat(yt / (pos + 1.0), starts) \
+                    / (np.add.reduceat(yt, starts) + 1e-12)
+                out[m] = float(np.mean(per_group))
+            else:
+                k = _parse_ndcg_k(m)
+                if yt_ideal is None:
+                    ideal = np.lexsort((-np.arange(n), -y_true, group_idx))
+                    yt_ideal = y_true[ideal]
+                topk = pos < k
+                disc = 1.0 / np.log2(pos + 2.0)
+                dcg = np.add.reduceat(
+                    np.where(topk, (2.0 ** yt - 1.0) * disc, 0.0), starts)
+                idcg = np.add.reduceat(
+                    np.where(topk, (2.0 ** yt_ideal - 1.0) * disc, 0.0),
+                    starts)
+                out[m] = float(np.mean(dcg / (idcg + 1e-12)))
+    return out
 
 
 def _resolve_group_metric(metric):

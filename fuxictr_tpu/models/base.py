@@ -50,9 +50,15 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: optax.OptState
 
 
-def _is_embedding_path(path):
+def _is_embedding_path(path, prefixes=None):
     """True for params owned by an embedding front-end module (the split the
-    reference draws at FeatureEmbeddingDict for regularizer scoping)."""
+    reference draws BY MODULE TYPE at FeatureEmbeddingDict,
+    rank_model.py:106-112). When ``prefixes`` (module paths of
+    FeatureEmbedding instances, collected via flax ``module_paths``) is
+    available it is authoritative; the name heuristic is only the fallback
+    for nets that cannot be abstractly traced."""
+    if prefixes is not None:
+        return any(tuple(path[:len(pre)]) == pre for pre in prefixes)
     return any(str(p).startswith(("embedding", "FeatureEmbedding", "Embedding"))
                for p in path)
 
@@ -202,13 +208,21 @@ class RankModel:
         self._build_state(params, model_state)
         self.count_parameters()
 
-    def _build_state(self, params, model_state,
-                     max_gradient_norm=10.0):
+    def _ensure_optimizer(self, max_gradient_norm=10.0):
+        """(Re)build the optax transform. The opt-state *structure* depends
+        only on optimizer name + accumulation steps (clip_by_global_norm is
+        stateless), so rebuilding the transform never invalidates an
+        existing/restored ``opt_state``."""
         self._accumulation_steps = int(
             self.kwargs.get("accumulation_steps", 1) or 1)
         self._tx = make_optimizer(self._optimizer_name, self._learning_rate,
                                   max_gradient_norm,
                                   self._accumulation_steps)
+        self._max_gradient_norm = max_gradient_norm
+
+    def _build_state(self, params, model_state,
+                     max_gradient_norm=10.0):
+        self._ensure_optimizer(max_gradient_norm)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             model_state=model_state, opt_state=self._tx.init(params))
@@ -248,13 +262,33 @@ class RankModel:
     def get_labels(self, batch):
         return batch[self.feature_map.labels[0]].reshape(-1, 1)
 
+    def _embedding_prefixes(self):
+        """Module paths of FeatureEmbedding instances in the net — the
+        type-scoped equivalent of the reference's
+        ``isinstance(module, FeatureEmbeddingDict)`` check. Cached; falls
+        back to None (name heuristic) if abstract tracing fails."""
+        if not hasattr(self, "_emb_prefix_cache"):
+            try:
+                from fuxictr_tpu.ops.embedding import FeatureEmbedding
+                mods = self.net.module_paths(
+                    jax.random.PRNGKey(0), self._example_batch(),
+                    train=False)
+                self._emb_prefix_cache = tuple(
+                    tuple(p.split("/")) for p, m in mods.items()
+                    if p and isinstance(m, FeatureEmbedding))
+            except Exception:
+                self._emb_prefix_cache = None
+        return self._emb_prefix_cache
+
     def regularization_loss(self, params):
         if not self._emb_reg and not self._net_reg:
             return 0.0
+        prefixes = self._embedding_prefixes()
         reg = 0.0
         flat = flax.traverse_util.flatten_dict(params)
         for path, leaf in flat.items():
-            pairs = self._emb_reg if _is_embedding_path(path) else self._net_reg
+            pairs = (self._emb_reg if _is_embedding_path(path, prefixes)
+                     else self._net_reg)
             for p, lam in pairs:
                 reg = reg + (lam / p) * jnp.sum(jnp.abs(leaf) ** p)
         return reg
@@ -358,9 +392,13 @@ class RankModel:
         self.valid_gen = validation_data
         if self.state is None:
             self.init_params()
-        # rebuild optimizer if a non-default clip norm is requested
-        self._build_state(self.state.params, self.state.model_state,
-                          max_gradient_norm)
+        # never reset opt_state/step here: a restored checkpoint must resume
+        # (rank_model.py:272-298 reference behavior is weights-only; this
+        # framework checkpoints full state, so fit() must honor it). Only
+        # the stateless transform is rebuilt when the clip norm changes.
+        if getattr(self, "_tx", None) is None or \
+                max_gradient_norm != getattr(self, "_max_gradient_norm", None):
+            self._ensure_optimizer(max_gradient_norm)
         self._jit_train_step = self._make_train_step()
         self._best_metric = (np.inf if self._monitor_mode == "min"
                              else -np.inf)
@@ -550,18 +588,44 @@ class RankModel:
         if not self._save_best_only:
             self.save_weights(self.checkpoint)
 
+    @staticmethod
+    def _find_hyperparam_nodes(opt_state):
+        """Walk an optax state tree for ``InjectHyperparamsState``-like nodes
+        carrying a ``learning_rate`` — robust to how the chain is composed
+        (wrappers like MultiSteps expose inner state under different
+        attribute names)."""
+        found = []
+
+        def visit(node):
+            hp = getattr(node, "hyperparams", None)
+            if isinstance(hp, dict) and "learning_rate" in hp:
+                found.append(node)
+                return
+            for attr in ("inner_opt_state", "inner_state"):
+                if hasattr(node, attr):
+                    visit(getattr(node, attr))
+                    return
+            if isinstance(node, (tuple, list)):
+                for child in node:
+                    visit(child)
+
+        visit(opt_state)
+        return found
+
     def lr_decay(self, factor=0.1, min_lr=1e-6):
         """Scale the injected optimizer LR in-place (no retrace)."""
-        opt_state = self.state.opt_state
-        if hasattr(opt_state, "inner_opt_state"):   # MultiSteps wrapper
-            inner = opt_state.inner_opt_state[1]
-        else:
-            inner = opt_state[1]
-        new_lr = float(inner.hyperparams["learning_rate"]) * factor
-        new_lr = max(new_lr, min_lr)
-        inner.hyperparams["learning_rate"] = jnp.asarray(
-            new_lr, dtype=jnp.asarray(inner.hyperparams["learning_rate"]).dtype)
-        self.state = self.state.replace(opt_state=opt_state)
+        nodes = self._find_hyperparam_nodes(self.state.opt_state)
+        if not nodes:
+            raise RuntimeError(
+                "no injected learning_rate found in the optimizer state; "
+                "was the optimizer built without inject_hyperparams?")
+        new_lr = min_lr
+        for node in nodes:
+            cur = node.hyperparams["learning_rate"]
+            new_lr = max(float(cur) * factor, min_lr)
+            node.hyperparams["learning_rate"] = jnp.asarray(
+                new_lr, dtype=jnp.asarray(cur).dtype)
+        self.state = self.state.replace(opt_state=self.state.opt_state)
         return new_lr
 
     # ---------------------------------------------------------- eval/infer
@@ -656,9 +720,10 @@ class RankModel:
 
     def count_parameters(self, count_embedding=True):
         total = 0
+        prefixes = self._embedding_prefixes() if not count_embedding else None
         flat = flax.traverse_util.flatten_dict(self.state.params)
         for path, leaf in flat.items():
-            if not count_embedding and _is_embedding_path(path):
+            if not count_embedding and _is_embedding_path(path, prefixes):
                 continue
             total += leaf.size
         logging.info("Total number of parameters: %d.", total)

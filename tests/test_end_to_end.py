@@ -23,6 +23,10 @@ RANKING_EXPIDS = [
     "DIN_test", "DIEN_test", "BST_test", "TransAct_test", "DMIN_test",
     "DMR_test", "MMoE_test", "PLE_test", "SIM_test", "TWIN_test",
     "ETA_test", "SDIM_test", "LongDIN_test",
+    # round 2: full 67/67 smoke matrix
+    "MIRRN_test", "PEPNet_test", "ShareBottom_test", "ONNv2_test",
+    "LongDIEN_test", "LongDCNv2_test", "LongFinalMLP_test",
+    "LongTransAct_test",
 ]
 
 
@@ -59,6 +63,37 @@ def test_npz_format(tmp_path):
         test_data="/root/reference/data/tiny_npz/test.npz")
     result = run_expid(CFG, "DeepFM_test", params=params)
     assert 0.0 < result["valid"]["AUC"] <= 1.0
+
+
+def test_streaming_shuffle_buffer(tmp_path):
+    """The cross-block shuffle buffer mixes rows ACROSS part files (the
+    reference's torchdata 100k-row buffer semantics,
+    parquet_block_dataloader.py:91) and still visits every row once."""
+    from fuxictr_tpu.data import BlockStreamingDataLoader
+    from fuxictr_tpu.utils.synthetic import make_synthetic_feature_map
+    fm = make_synthetic_feature_map(num_categorical=1, num_numeric=0,
+                                    vocab_size=100000)
+    n_parts, rows = 4, 256
+    for p in range(n_parts):
+        ids = np.arange(p * rows, (p + 1) * rows, dtype=np.int32) + 1
+        np.savez(tmp_path / f"part_{p:05d}.npz", C1=ids,
+                 label=np.zeros(rows, np.float32))
+    loader = BlockStreamingDataLoader(
+        fm, str(tmp_path), batch_size=64, shuffle=True, seed=7,
+        buffer_size=600)   # > 2 part files → must mix across blocks
+    batches = list(loader)
+    assert len(batches) == len(loader) == n_parts * rows // 64
+    seen = np.concatenate([b["C1"][b["__mask__"] > 0] for b in batches])
+    np.testing.assert_array_equal(np.sort(seen),
+                                  np.arange(n_parts * rows) + 1)
+    # the first batch must contain rows from >1 source part — a per-block
+    # shuffle cannot do this (each part holds a distinct id range)
+    first_parts = np.unique((batches[0]["C1"] - 1) // rows)
+    assert len(first_parts) > 1
+    # different epochs yield different orders
+    second = list(loader)
+    assert any(not np.array_equal(a["C1"], b["C1"])
+               for a, b in zip(batches, second))
 
 
 def test_streaming_loader_equivalence():

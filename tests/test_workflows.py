@@ -125,6 +125,78 @@ def test_full_state_resume(tmp_path):
         np.testing.assert_allclose(a, b_, rtol=1e-6, atol=1e-7)
 
 
+def test_resume_through_fit(tmp_path):
+    """load_checkpoint + fit() keeps the restored opt_state/step (true
+    resume) and matches uninterrupted fit() exactly."""
+    from fuxictr_tpu.models.zoo.ranking import DNN
+    from fuxictr_tpu.utils.synthetic import (make_synthetic_batch,
+                                             make_synthetic_feature_map)
+    import jax
+    fm = make_synthetic_feature_map(num_categorical=3, num_numeric=1,
+                                    vocab_size=20, embedding_dim=4)
+    batches = [make_synthetic_batch(fm, 16, seed=s) for s in range(4)]
+    valid = [make_synthetic_batch(fm, 16, seed=9)]
+
+    def fresh(root):
+        return DNN(fm, embedding_dim=4, hidden_units=(8,),
+                   model_root=str(tmp_path / root),
+                   reduce_lr_on_plateau=False)
+
+    m = fresh("full")
+    m.fit(batches, epochs=1, validation_data=valid)
+    ref = jax.device_get(m.state.params)
+
+    m1 = fresh("part1")
+    m1.fit(batches[:2], epochs=1, validation_data=valid)
+    ckpt = str(tmp_path / "resume.ckpt")
+    m1.save_checkpoint(ckpt)
+
+    m2 = fresh("part2")
+    m2.load_checkpoint(ckpt)
+    assert int(m2.state.step) == 2
+    m2.fit(batches[2:], epochs=1, validation_data=valid)
+    assert int(m2.state.step) == 4
+    resumed = jax.device_get(m2.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_regularizer_scope_is_type_based(tmp_path):
+    """Embedding-vs-net regularizer split keys on FeatureEmbedding module
+    TYPE (reference rank_model.py:106-112), not on name prefixes."""
+    from fuxictr_tpu.models.base import _is_embedding_path
+    from fuxictr_tpu.models.zoo.ranking import DeepFM
+    from fuxictr_tpu.utils.synthetic import make_synthetic_feature_map
+    fm = make_synthetic_feature_map(num_categorical=3, num_numeric=1,
+                                    vocab_size=20, embedding_dim=4)
+    m = DeepFM(fm, embedding_dim=4, hidden_units=[8],
+               model_root=str(tmp_path))
+    prefixes = m._embedding_prefixes()
+    assert ("embedding",) in prefixes
+    assert ("fm", "lr", "embedding") in prefixes
+    assert _is_embedding_path(("embedding", "table_d4"), prefixes)
+    assert not _is_embedding_path(("mlp", "Dense_0", "kernel"), prefixes)
+    # a net module that merely *sounds* like an embedding is NOT matched
+    assert not _is_embedding_path(("embedding_head", "kernel"), prefixes)
+
+
+def test_lr_decay_with_accumulation(tmp_path):
+    """lr_decay finds the injected LR by tree traversal — including through
+    the MultiSteps wrapper used for gradient accumulation."""
+    from fuxictr_tpu.models.zoo.ranking import DNN
+    from fuxictr_tpu.utils.synthetic import make_synthetic_feature_map
+    fm = make_synthetic_feature_map(num_categorical=3, num_numeric=1,
+                                    vocab_size=20, embedding_dim=4)
+    for acc in (1, 2):
+        m = DNN(fm, embedding_dim=4, hidden_units=(8,),
+                model_root=str(tmp_path), learning_rate=1e-3,
+                accumulation_steps=acc)
+        m.init_params()
+        np.testing.assert_allclose(m.lr_decay(), 1e-4, rtol=1e-6)
+        np.testing.assert_allclose(m.lr_decay(), 1e-5, rtol=1e-6)
+
+
 def test_seed_determinism(tmp_path):
     """Same seed → identical metrics (reference reproducibility guarantee)."""
     results = []
