@@ -103,8 +103,12 @@ class _SIMNet(_LongCTRBase):
                                      name="embedding")
         emb_list, item_emb, mask = self._encode(emb_layer, batch, train)
         target_emb = item_emb[:, -1, :]
-        short_seq = item_emb[:, -self.short_seq_len - 1:-1, :]
-        short_mask = mask[:, -short_seq.shape[1]:]
+        # reference window semantics (SIM.py:143-146, same in ETA/SDIM/TWIN/
+        # MIRRN): short_seq_len-1 items, and the mask slice sits one item
+        # earlier than the emb slice — that off-by-one is a reference quirk
+        # replicated verbatim for parity
+        short_seq = item_emb[:, -self.short_seq_len:-1, :]
+        short_mask = mask[:, -self.short_seq_len:-1]
         short_interest = MultiHeadTargetAttention(
             input_dim=target_emb.shape[-1], attention_dim=self.attention_dim,
             num_heads=self.num_heads, dropout_rate=self.attention_dropout,
@@ -121,8 +125,11 @@ class _SIMNet(_LongCTRBase):
                           output_dim=1, dropout_rates=self.net_dropout,
                           batch_norm=self.batch_norm,
                           name="dnn_aux")(aux_in, train=train)
-        topk_emb, topk_mask, _, _ = topk_gather(
-            long_seq, mask, jnp.where(mask > 0, qk, _NEG_INF), self.topk)
+        # reference selects on qk AFTER the mask multiply (SIM.py:152-158):
+        # padded positions carry score 0, NOT -inf, and can outrank
+        # negative real scores — replicated verbatim for parity
+        topk_emb, topk_mask, _, _ = topk_gather(long_seq, mask, qk,
+                                                self.topk)
         long_interest = MultiHeadTargetAttention(
             input_dim=target_emb.shape[-1], attention_dim=self.attention_dim,
             num_heads=self.num_heads, dropout_rate=self.attention_dropout,
@@ -192,8 +199,12 @@ class _ETANet(_LongCTRBase):
                                      name="embedding")
         emb_list, item_emb, mask = self._encode(emb_layer, batch, train)
         target_emb = item_emb[:, -1, :]
-        short_seq = item_emb[:, -self.short_seq_len - 1:-1, :]
-        short_mask = mask[:, -short_seq.shape[1]:]
+        # reference window semantics (SIM.py:143-146, same in ETA/SDIM/TWIN/
+        # MIRRN): short_seq_len-1 items, and the mask slice sits one item
+        # earlier than the emb slice — that off-by-one is a reference quirk
+        # replicated verbatim for parity
+        short_seq = item_emb[:, -self.short_seq_len:-1, :]
+        short_mask = mask[:, -self.short_seq_len:-1]
         short_interest = MultiHeadTargetAttention(
             input_dim=target_emb.shape[-1], attention_dim=self.attention_dim,
             num_heads=self.num_heads, dropout_rate=self.attention_dropout,
@@ -261,7 +272,7 @@ class _SDIMNet(_LongCTRBase):
     short_seq_len: int = 50
     num_hashes: int = 1
     hash_bits: int = 4
-    l2_norm: bool = True
+    l2_norm: bool = False      # reference default (SDIM.py:73)
     net_dropout: float = 0.0
     batch_norm: bool = False
 
@@ -271,8 +282,12 @@ class _SDIMNet(_LongCTRBase):
                                      name="embedding")
         emb_list, item_emb, mask = self._encode(emb_layer, batch, train)
         target_emb = item_emb[:, -1, :]
-        short_seq = item_emb[:, -self.short_seq_len - 1:-1, :]
-        short_mask = mask[:, -short_seq.shape[1]:]
+        # reference window semantics (SIM.py:143-146, same in ETA/SDIM/TWIN/
+        # MIRRN): short_seq_len-1 items, and the mask slice sits one item
+        # earlier than the emb slice — that off-by-one is a reference quirk
+        # replicated verbatim for parity
+        short_seq = item_emb[:, -self.short_seq_len:-1, :]
+        short_mask = mask[:, -self.short_seq_len:-1]
         short_interest = MultiHeadTargetAttention(
             input_dim=target_emb.shape[-1], attention_dim=self.attention_dim,
             num_heads=self.num_heads, dropout_rate=self.attention_dropout,
@@ -314,7 +329,7 @@ class SDIM(RankModel):
                  embedding_dim=10, dnn_hidden_units=(512, 128, 64),
                  dnn_activations="relu", attention_dropout=0.0,
                  attention_dim=64, num_heads=1, short_seq_len=50,
-                 num_hashes=1, hash_bits=4, l2_norm=True, reuse_hash=True,
+                 num_hashes=1, hash_bits=4, l2_norm=False, reuse_hash=True,
                  net_dropout=0.0, batch_norm=False, accumulation_steps=1,
                  **kwargs):
         net = _SDIMNet(feature_map, embedding_dim, tuple(dnn_hidden_units),
@@ -348,8 +363,12 @@ class _TWINNet(_LongCTRBase):
                                      name="embedding")
         emb_list, item_emb, mask = self._encode(emb_layer, batch, train)
         target_emb = item_emb[:, -1, :]
-        short_seq = item_emb[:, -self.short_seq_len - 1:-1, :]
-        short_mask = mask[:, -short_seq.shape[1]:]
+        # reference window semantics (SIM.py:143-146, same in ETA/SDIM/TWIN/
+        # MIRRN): short_seq_len-1 items, and the mask slice sits one item
+        # earlier than the emb slice — that off-by-one is a reference quirk
+        # replicated verbatim for parity
+        short_seq = item_emb[:, -self.short_seq_len:-1, :]
+        short_mask = mask[:, -self.short_seq_len:-1]
         short_interest = MultiHeadTargetAttention(
             input_dim=target_emb.shape[-1], attention_dim=self.attention_dim,
             num_heads=self.num_heads, dropout_rate=self.attention_dropout,
@@ -434,7 +453,7 @@ class _MIRRNNet(_LongCTRBase):
     topk: int = 50
     max_len: int = 1000
     short_seq_len: int = 50
-    n_block: int = 2
+    n_block: int = 4      # the reference hardcodes 4 (MIRRN.py:112-114)
     net_dropout: float = 0.0
     batch_norm: bool = False
 
@@ -452,8 +471,8 @@ class _MIRRNNet(_LongCTRBase):
         C = A * Bc[None, None]
         C = C.reshape(B_, -1, D_)
         out = jnp.fft.irfft(C, n=L_, axis=1, norm="ortho")
-        if self.net_dropout > 0:
-            out = nn.Dropout(self.net_dropout, deterministic=not train)(out)
+        # the reference hardcodes 0.1 filter dropout (MIRRN.py:112-114)
+        out = nn.Dropout(0.1, deterministic=not train)(out)
         return nn.LayerNorm(epsilon=1e-12,
                             name=f"filter_ln_{idx}")(out + x)
 
@@ -464,8 +483,12 @@ class _MIRRNNet(_LongCTRBase):
         emb_list, item_emb, mask = self._encode(emb_layer, batch, train)
         item_dim = item_emb.shape[-1]
         target_emb = item_emb[:, -1, :]
-        short_seq = item_emb[:, -self.short_seq_len - 1:-1, :]
-        short_mask = mask[:, -short_seq.shape[1]:]
+        # reference window semantics (SIM.py:143-146, same in ETA/SDIM/TWIN/
+        # MIRRN): short_seq_len-1 items, and the mask slice sits one item
+        # earlier than the emb slice — that off-by-one is a reference quirk
+        # replicated verbatim for parity
+        short_seq = item_emb[:, -self.short_seq_len:-1, :]
+        short_mask = mask[:, -self.short_seq_len:-1]
         short_interest = MultiHeadTargetAttention(
             input_dim=item_dim, attention_dim=self.attention_dim,
             num_heads=self.num_heads, dropout_rate=self.attention_dropout,
@@ -484,7 +507,11 @@ class _MIRRNNet(_LongCTRBase):
             q_hash = lsh_hash(query[:, None, :], rotations)
             dist = jnp.sum(jnp.abs(seq_hash - q_hash), axis=-1)
             score = jnp.where(mask > 0, -dist, -(1.0 + self.hash_bits))
-            emb, m, idx, _ = topk_gather(seq, mask, score, self.topk)
+            k = min(self.topk, score.shape[1])
+            # the reference re-sorts selected indices ascending before the
+            # FFT filter (MIRRN.py:240) — position order matters there
+            idx = jnp.sort(jax.lax.top_k(score, k)[1], axis=-1)
+            emb = jnp.take_along_axis(seq, idx[..., None], axis=1)
             pos = jnp.take(pos_table, jnp.minimum(L - idx, self.max_len),
                            axis=0)
             return emb + 0.02 * pos
@@ -531,6 +558,6 @@ class MIRRN(RankModel):
         net = _MIRRNNet(feature_map, embedding_dim, tuple(dnn_hidden_units),
                         dnn_activations, attention_dim, num_heads,
                         attention_dropout, hash_bits, topk, max_len,
-                        short_seq_len, 2, net_dropout, batch_norm)
+                        short_seq_len, 4, net_dropout, batch_norm)
         super().__init__(feature_map, net=net, model_id=model_id, **kwargs)
         self.compile(lr=learning_rate)
