@@ -45,10 +45,16 @@ class _BaseLoader:
 
 
 class InMemoryDataLoader(_BaseLoader):
-    """Whole-split-in-RAM loader with per-epoch vectorized shuffling."""
+    """Whole-split-in-RAM loader with per-epoch vectorized shuffling.
+
+    Multi-host (``num_hosts > 1``): each process keeps only a contiguous
+    ``ceil(N/num_hosts)``-row block, zero-padded so every host yields the
+    SAME batch count (jitted steps are collective in multi-process runs —
+    unequal counts would deadlock); padded rows carry mask 0.
+    """
 
     def __init__(self, feature_map, data_path, split="train", batch_size=32,
-                 shuffle=False, seed=2019, **kwargs):
+                 shuffle=False, seed=2019, host_id=0, num_hosts=1, **kwargs):
         self.feature_map = feature_map
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -61,21 +67,42 @@ class InMemoryDataLoader(_BaseLoader):
         else:
             self.columns = {k: np.concatenate([c[k] for c in cols])
                             for k in cols[0]}
-        self.num_samples = len(next(iter(self.columns.values())))
+        total = len(next(iter(self.columns.values())))
+        self._n_rows = total
+        self._row_mask = None
+        if num_hosts > 1:
+            per = int(np.ceil(total / num_hosts))
+            lo = host_id * per
+            hi = min(lo + per, total)
+            self.columns = {k: v[lo:hi] for k, v in self.columns.items()}
+            n_local = max(hi - lo, 0)
+            if n_local < per:
+                self.columns = {
+                    k: np.concatenate(
+                        [v, np.zeros((per - n_local,) + v.shape[1:],
+                                     v.dtype)])
+                    for k, v in self.columns.items()}
+                self._row_mask = np.zeros(per, np.float32)
+                self._row_mask[:n_local] = 1.0
+            self._n_rows = per
+        self.num_samples = total
         self.num_blocks = 1
-        self.num_batches = int(np.ceil(self.num_samples / batch_size))
+        self.num_batches = int(np.ceil(self._n_rows / batch_size))
 
     def __iter__(self):
-        order = np.arange(self.num_samples)
+        order = np.arange(self._n_rows)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
             self._epoch += 1
         bs = self.batch_size
-        for start in range(0, self.num_samples, bs):
+        for start in range(0, self._n_rows, bs):
             idx = order[start:start + bs]
             batch = {k: v[idx] for k, v in self.columns.items()}
             batch, mask = _pad_batch(batch, bs)
+            if self._row_mask is not None:
+                mask = mask.copy()
+                mask[:len(idx)] *= self._row_mask[idx]
             batch[SAMPLE_MASK_KEY] = mask
             yield batch
 

@@ -25,6 +25,16 @@ def run_expid(config_dir, experiment_id, result_file=None, params=None):
     logging.info("Params: " + print_to_json(params))
     seed_everything(params.get("seed", 2019))
 
+    # multi-host: join the JAX runtime (no-op unless a coordinator is
+    # configured via params or FUXICTR_* env) and shard input per process;
+    # batch_size then counts PER-PROCESS rows
+    from fuxictr_tpu.parallel.distributed import maybe_initialize
+    distributed = maybe_initialize(params)
+    if distributed:
+        import jax
+        params.setdefault("host_id", jax.process_index())
+        params.setdefault("num_hosts", jax.process_count())
+
     data_dir = os.path.join(params["data_root"], params["dataset_id"])
     feature_map_json = os.path.join(data_dir, "feature_map.json")
     if params.get("data_format") == "csv":
@@ -44,6 +54,11 @@ def run_expid(config_dir, experiment_id, result_file=None, params=None):
     if getattr(model_cls, "_longctr", False) and "data_loader" not in params:
         from fuxictr_tpu.data.longctr_loader import LongCTRDataLoader
         params["data_loader"] = LongCTRDataLoader
+
+    if distributed or params.get("use_mesh"):
+        from fuxictr_tpu.parallel import make_mesh
+        mesh = make_mesh(n_model=int(params.get("mesh_model_axis", 1)))
+        model.distribute(mesh)
 
     train_gen, valid_gen = RankDataLoader(
         feature_map, stage="train", **params).make_iterator()

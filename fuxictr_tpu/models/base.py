@@ -650,14 +650,22 @@ class RankModel:
         y_pred_parts, y_true_parts, masks, groups = [], [], [], []
         if self._jit_predict_step is None:
             self._jit_predict_step = self._make_predict_step()
+        # multi-host: every process holds a local shard of each batch; the
+        # prediction comes back as a global array, and host-side arrays
+        # (mask/labels/groups) are gathered in the same data-axis order so
+        # all processes compute identical metrics
+        from fuxictr_tpu.parallel.distributed import (all_gather_host,
+                                                      is_multiprocess)
+        gather = all_gather_host if is_multiprocess() else np.asarray
         for batch in data_generator:
             y = self._jit_predict_step(self.state, self._place_batch(batch))
-            m = batch[SAMPLE_MASK_KEY] > 0
+            y = gather(y)
+            m = gather(batch[SAMPLE_MASK_KEY]) > 0
             y_pred_parts.append(np.asarray(y).reshape(len(m), -1)[m])
             y_true_parts.append(
-                np.asarray(self.get_labels(batch)).reshape(len(m), -1)[m])
+                gather(self.get_labels(batch)).reshape(len(m), -1)[m])
             if self.feature_map.group_id is not None:
-                groups.append(np.asarray(batch[self.feature_map.group_id])[m])
+                groups.append(gather(batch[self.feature_map.group_id])[m])
         y_pred = np.concatenate(y_pred_parts).reshape(-1).astype(np.float64)
         y_true = np.concatenate(y_true_parts).reshape(-1).astype(np.float64)
         group_id = np.concatenate(groups) if groups else None

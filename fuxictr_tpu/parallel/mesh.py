@@ -48,6 +48,19 @@ def batch_sharding(mesh, leaf):
     return NamedSharding(mesh, batch_spec(np.ndim(leaf)))
 
 
+def _put(mesh, x, sharding):
+    """Place host data on a (possibly multi-process) mesh.
+
+    Single-process: plain device_put. Multi-process: this host holds only
+    its LOCAL slice of every batch-aligned array, so global arrays are
+    assembled with ``make_array_from_process_local_data``; replicated
+    entries are identical on all hosts and device_put handles them."""
+    x = np.asarray(x)
+    if jax.process_count() == 1 or sharding.is_fully_replicated:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
 def shard_batch(mesh, batch):
     """Place a host batch dict on the mesh, sharded over 'data'.
 
@@ -59,12 +72,10 @@ def shard_batch(mesh, batch):
     for key, value in batch.items():
         if key == "__items__":
             out[key] = jax.tree_util.tree_map(
-                lambda x: jax.device_put(np.asarray(x),
-                                         NamedSharding(mesh, P())), value)
+                lambda x: _put(mesh, x, NamedSharding(mesh, P())), value)
         else:
             out[key] = jax.tree_util.tree_map(
-                lambda x: jax.device_put(np.asarray(x),
-                                         batch_sharding(mesh, x)), value)
+                lambda x: _put(mesh, x, batch_sharding(mesh, x)), value)
     return out
 
 

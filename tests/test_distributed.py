@@ -1,0 +1,119 @@
+"""Multi-host correctness: 2 JAX processes x 4 CPU devices each, joined via
+jax.distributed, must reproduce the single-process 8-device run exactly.
+
+The reference has nothing distributed to test (SURVEY.md §4) — this guards
+the new multi-host architecture: per-process input sharding
+(``make_array_from_process_local_data``), GSPMD train steps over a global
+(data x model) mesh, and the process_allgather eval bridge.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from fuxictr_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize() == %(multi)s
+    assert jax.device_count() == 8, jax.device_count()
+
+    from fuxictr_tpu.models.zoo.ranking import DNN
+    from fuxictr_tpu.parallel import make_mesh
+    from fuxictr_tpu.utils.synthetic import (make_synthetic_batch,
+                                             make_synthetic_feature_map)
+
+    fm = make_synthetic_feature_map(num_categorical=4, num_numeric=2,
+                                    vocab_size=64, embedding_dim=4)
+    m = DNN(fm, embedding_dim=4, hidden_units=(16,),
+            model_root="/tmp/dist_test_%(tag)s", batch_norm=False)
+    m.init_params()
+    mesh = make_mesh(n_data=4, n_model=2)
+    m.distribute(mesh)
+    step = m._make_train_step()
+
+    B_GLOBAL = 32
+    n_local = B_GLOBAL // jax.process_count()
+    lo = jax.process_index() * n_local
+    losses = []
+    for s in range(4):
+        gb = make_synthetic_batch(fm, B_GLOBAL, seed=s)   # same on all procs
+        local = {k: v[lo:lo + n_local] for k, v in gb.items()}
+        placed = m._place_batch(local)
+        m.state, loss = step(m.state, placed, jax.random.PRNGKey(s))
+        losses.append(float(loss))
+
+    # eval bridge: metrics must come out identical on every process
+    valid = make_synthetic_batch(fm, B_GLOBAL, seed=99)
+    local_valid = {k: v[lo:lo + n_local] for k, v in valid.items()}
+    logs = m.evaluate([local_valid], metrics=["AUC", "logloss"])
+    print("LOSSES", " ".join("%%.8f" %% l for l in losses))
+    print("EVAL", "%%.8f %%.8f" %% (logs["AUC"], logs["logloss"]))
+""")
+
+
+def _run_worker(tag, multi, env_extra, timeout=420):
+    env = dict(os.environ)
+    env.update({
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4"
+        if multi else "--xla_force_host_platform_device_count=8",
+        "PALLAS_AXON_POOL_IPS": "",       # keep the axon TPU plugin out
+        "JAX_PLATFORMS": "cpu",
+    })
+    env.update(env_extra)
+    return subprocess.Popen(
+        [sys.executable, "-c", WORKER % {"repo": REPO, "multi": multi,
+                                         "tag": tag}],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def _parse(out):
+    losses = eval_line = None
+    for line in out.splitlines():
+        if line.startswith("LOSSES"):
+            losses = [float(x) for x in line.split()[1:]]
+        if line.startswith("EVAL"):
+            eval_line = [float(x) for x in line.split()[1:]]
+    return losses, eval_line
+
+
+def test_two_process_matches_single_process():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    workers = [
+        _run_worker(f"mp{i}", True, {
+            "FUXICTR_COORDINATOR": coord,
+            "FUXICTR_NUM_PROCESSES": "2",
+            "FUXICTR_PROCESS_ID": str(i),
+        }) for i in range(2)]
+    single = _run_worker("sp", False, {})
+
+    outs = []
+    for p in workers + [single]:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    l0, e0 = _parse(outs[0])
+    l1, e1 = _parse(outs[1])
+    ls, es = _parse(outs[2])
+    assert l0 and ls and e0 and es
+    # both processes observe the same replicated loss and metrics
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(e0, e1, rtol=1e-6)
+    # 2-process x 4-device == 1-process x 8-device, step for step
+    np.testing.assert_allclose(l0, ls, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(e0, es, rtol=1e-5, atol=1e-6)
