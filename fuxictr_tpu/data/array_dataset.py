@@ -35,6 +35,9 @@ def load_columns(feature_map, data_path):
     Returns arrays of shape [N] (scalar), [N, max_len] (sequence), or
     [N, pretrain_dim] (embedding features), with labels as float32.
     """
+    if data_path.endswith(".tfrecord"):
+        from fuxictr_tpu.data.tfrecord import load_tfrecord_columns
+        return load_tfrecord_columns(feature_map, data_path)
     if data_path.endswith(".npz"):
         raw = np.load(data_path, allow_pickle=True)
         get = lambda col: raw[col]
@@ -65,10 +68,11 @@ def load_columns(feature_map, data_path):
 def expand_path(data_path):
     """Resolve a path that may be a file, glob, or directory of part files."""
     if os.path.isdir(data_path):
-        parts = sorted(glob.glob(os.path.join(data_path, "*.parquet")))
-        if not parts:
-            parts = sorted(glob.glob(os.path.join(data_path, "*.npz")))
-        return parts
+        for ext in ("*.parquet", "*.npz", "*.tfrecord"):
+            parts = sorted(glob.glob(os.path.join(data_path, ext)))
+            if parts:
+                return parts
+        return []
     if any(ch in data_path for ch in "*?["):
         return sorted(glob.glob(data_path))
     if not os.path.exists(data_path) and os.path.exists(data_path + ".parquet"):

@@ -140,6 +140,9 @@ class BlockStreamingDataLoader(_BaseLoader):
         if path.endswith(".npz"):
             with np.load(path, allow_pickle=True) as d:
                 return len(d[d.files[0]])
+        if path.endswith(".tfrecord"):
+            from fuxictr_tpu.data.tfrecord import count_records
+            return count_records(path)
         import pyarrow.parquet as pq
         return pq.ParquetFile(path).metadata.num_rows
 

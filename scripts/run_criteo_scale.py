@@ -1,0 +1,148 @@
+"""The round's main-event benchmark: full-Criteo-scale offline build +
+on-chip training, with AUC measured against the planted Bayes ceiling.
+
+Phases (each timed; run with --phase build|train|all):
+  build  45.84M-row csv -> FeatureProcessor fit -> parquet parts +
+         feature_map.json (the reference's offline pipeline at full scale)
+  train  DCNv2 (BARS DCNv2_criteo_x1 recipe shape) on the TPU chip via the
+         block-streaming loader; reports sustained examples/s, final
+         valid/test AUC + logloss, and the Bayes-optimal AUC on the same
+         rows (real Criteo is unobtainable offline — BENCHMARKS.md).
+
+Usage: python scripts/run_criteo_scale.py --phase all
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RAW = os.environ.get("CRITEO_RAW", "/tmp/ctr_scale/criteo_full_raw")
+DATA_ROOT = os.environ.get("CRITEO_DATA", "/tmp/ctr_scale/criteo_full_data")
+DATASET_ID = os.environ.get("CRITEO_DATASET_ID", "criteo_full_syn")
+
+FEATURE_COLS = [
+    {"name": [f"I{i}" for i in range(1, 14)], "active": True,
+     "dtype": "float", "type": "numeric", "fill_na": 0.0},
+    {"name": [f"C{i}" for i in range(1, 27)], "active": True,
+     "dtype": "str", "type": "categorical", "min_categr_count": 2,
+     "fill_na": ""},
+]
+LABEL_COL = {"name": "label", "dtype": "float"}
+
+PARAMS = dict(
+    model_id="DCNv2_criteo_full", dataset_id=DATASET_ID,
+    data_root=DATA_ROOT + "/", model_root="/tmp/ctr_scale/checkpoints/",
+    data_format="csv",
+    train_data=f"{RAW}/train.csv", valid_data=f"{RAW}/valid.csv",
+    test_data=f"{RAW}/test.csv",
+    feature_cols=FEATURE_COLS, label_col=LABEL_COL,
+    min_categr_count=2, data_block_size=4_000_000,
+)
+
+
+def phase_build():
+    from fuxictr_tpu.config import set_logger
+    from fuxictr_tpu.preprocess import FeatureProcessor, build_dataset
+    set_logger(PARAMS)
+    t0 = time.time()
+    fp = FeatureProcessor(**PARAMS)
+    train, valid, test = build_dataset(fp, **PARAMS)
+    dt = time.time() - t0
+    print(json.dumps({"phase": "build", "seconds": round(dt, 1),
+                      "train": train, "valid": valid, "test": test}),
+          flush=True)
+
+
+def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
+                steps_per_call=10, compute_dtype="bfloat16",
+                sample_rows=None):
+    import numpy as np
+
+    from fuxictr_tpu.config import set_logger
+    from fuxictr_tpu.data import RankDataLoader
+    from fuxictr_tpu.features import FeatureMap
+    from fuxictr_tpu.models import get_model, seed_everything
+    from fuxictr_tpu.metrics import evaluate_metrics
+
+    params = dict(PARAMS)
+    params.update(
+        model=model_name, batch_size=batch_size, shuffle=True,
+        streaming=True, data_format="parquet",
+        train_data=f"{DATA_ROOT}/{DATASET_ID}/train/",
+        valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
+        test_data=f"{DATA_ROOT}/{DATASET_ID}/test/",
+        embedding_dim=16, learning_rate=1e-3,
+        net_regularizer=None, embedding_regularizer=None,
+        steps_per_call=steps_per_call, compute_dtype=compute_dtype,
+        monitor="AUC", metrics=["AUC", "logloss"],
+        reduce_lr_on_plateau=True, epochs=epochs, verbose=1)
+    if model_name == "DCNv2":
+        params.update(model_structure="parallel",
+                      stacked_dnn_hidden_units=[1024, 512, 256],
+                      parallel_dnn_hidden_units=[1024, 512, 256],
+                      num_cross_layers=4, net_dropout=0.1)
+    set_logger(params)
+    seed_everything(2019)
+
+    data_dir = os.path.join(params["data_root"], DATASET_ID)
+    fm = FeatureMap(DATASET_ID, data_dir)
+    fm.load(os.path.join(data_dir, "feature_map.json"), params)
+    print(f"total_features={fm.total_features} fields={fm.num_fields}",
+          flush=True)
+
+    model_cls = get_model(model_name)
+    model = model_cls(fm, **params)
+    train_gen, valid_gen = RankDataLoader(
+        fm, stage="train", **params).make_iterator()
+
+    t0 = time.time()
+    model.fit(train_gen, validation_data=valid_gen, epochs=epochs)
+    train_s = time.time() - t0
+    n_train = train_gen.num_samples * epochs
+    print(json.dumps({"phase": "train", "model": model_name,
+                      "seconds": round(train_s, 1),
+                      "sustained_examples_per_s":
+                          round(n_train / train_s)}), flush=True)
+
+    for split in ("valid", "test"):
+        gen = RankDataLoader(
+            fm, stage="test",
+            test_data=f"{DATA_ROOT}/{DATASET_ID}/{split}/",
+            batch_size=batch_size, data_format="parquet",
+            streaming=True, shuffle=False).make_iterator()
+        logs = model.evaluate(gen)
+        # Bayes ceiling on the same rows (split files preserve row order)
+        true_logit = np.load(f"{RAW}/{split}_true_logit.npy")
+        y_true = np.concatenate(
+            [np.asarray(b["label"])[np.asarray(b["__mask__"]) > 0]
+             for b in gen])
+        bayes = evaluate_metrics(y_true[:len(true_logit)],
+                                 1 / (1 + np.exp(-true_logit[:len(y_true)])),
+                                 ["AUC", "logloss"])
+        print(json.dumps({
+            "phase": "eval", "split": split, "model": model_name,
+            "AUC": round(float(logs["AUC"]), 6),
+            "logloss": round(float(logs["logloss"]), 6),
+            "bayes_AUC": round(float(bayes["AUC"]), 6),
+            "bayes_logloss": round(float(bayes["logloss"]), 6),
+            "AUC_gap_to_bayes": round(float(bayes["AUC"] - logs["AUC"]), 6),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all",
+                    choices=["build", "train", "all"])
+    ap.add_argument("--model", default="DCNv2")
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=8192)
+    args = ap.parse_args()
+    if args.phase in ("build", "all"):
+        phase_build()
+    if args.phase in ("train", "all"):
+        phase_train(args.model, epochs=args.epochs,
+                    batch_size=args.batch_size)
