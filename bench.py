@@ -80,5 +80,46 @@ def main():
                       "vs_baseline": round(vs, 3)}))
 
 
+def main_criteo():
+    """End-to-end DCNv2 training on the prebuilt full-Criteo-scale dataset
+    (scripts/make_criteo_scale.py + run_criteo_scale.py --phase build):
+    sustained examples/s THROUGH the streaming input pipeline, not just the
+    device step. Prints the same one-line JSON contract."""
+    import io
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import run_criteo_scale as rcs
+
+    fm_json = os.path.join(rcs.DATA_ROOT, rcs.DATASET_ID,
+                           "feature_map.json")
+    if not os.path.exists(fm_json):
+        print(json.dumps({"metric": "dcnv2_criteo_e2e_throughput",
+                          "value": 0, "unit": "examples/s",
+                          "vs_baseline": 0,
+                          "error": f"dataset not built ({fm_json}); run "
+                          "scripts/run_criteo_scale.py --phase build"}))
+        return
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rcs.phase_train("DCNv2", epochs=1)
+    result = {}
+    for line in buf.getvalue().splitlines():
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("phase") == "train":
+            result["value"] = rec["sustained_examples_per_s"]
+        if rec.get("phase") == "eval" and rec.get("split") == "test":
+            result.update(test_AUC=rec["AUC"], bayes_AUC=rec["bayes_AUC"])
+    print(json.dumps({"metric": "dcnv2_criteo_e2e_throughput",
+                      "unit": "examples/s", "vs_baseline": 1.0, **result}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--dataset" in sys.argv and "criteo" in sys.argv:
+        main_criteo()
+    else:
+        main()
