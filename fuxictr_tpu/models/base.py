@@ -77,10 +77,23 @@ def make_loss_fn(loss):
     raise NotImplementedError(f"loss={loss} is not supported.")
 
 
-def make_optimizer(name, lr, max_gradient_norm=10.0, accumulation_steps=1):
+def _is_lazy_table_path(path):
+    """Fused embedding tables eligible for lazy (touched-rows-only) adam."""
+    import re
+    return bool(re.fullmatch(r"table_d\d+", str(path[-1]))) if path else False
+
+
+def make_optimizer(name, lr, max_gradient_norm=10.0, accumulation_steps=1,
+                   lazy_adam=False):
     """optax chain: global-norm clip → injected-LR optimizer (mutable LR);
     optionally wrapped in MultiSteps for gradient accumulation (the
-    reference's SIM-style accumulation, SIM.py:229-246)."""
+    reference's SIM-style accumulation, SIM.py:229-246).
+
+    ``lazy_adam=True`` masks the fused embedding tables OUT of the dense
+    optimizer (their clipped grads pass through unchanged) — the train
+    step applies row-sparse adam to them from the embedding layer's
+    ``touched_rows`` trace instead. The global-norm clip still sees every
+    gradient."""
     name = str(name).lower()
     opts = {
         "adam": optax.adam,
@@ -92,12 +105,43 @@ def make_optimizer(name, lr, max_gradient_norm=10.0, accumulation_steps=1):
     }
     if name not in opts:
         raise NotImplementedError(f"optimizer={name} is not supported.")
-    tx = optax.chain(
-        optax.clip_by_global_norm(max_gradient_norm),
-        optax.inject_hyperparams(opts[name])(learning_rate=lr))
+    inner = optax.inject_hyperparams(opts[name])(learning_rate=lr)
+    if lazy_adam:
+        if name != "adam":
+            raise ValueError("lazy_adam requires optimizer=adam")
+        if accumulation_steps and accumulation_steps > 1:
+            raise ValueError("lazy_adam is incompatible with "
+                             "accumulation_steps > 1")
+
+        def dense_mask(params):
+            flat = flax.traverse_util.flatten_dict(params)
+            return flax.traverse_util.unflatten_dict(
+                {p: not _is_lazy_table_path(p) for p in flat})
+
+        inner = optax.masked(inner, dense_mask)
+    tx = optax.chain(optax.clip_by_global_norm(max_gradient_norm), inner)
     if accumulation_steps and accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
     return tx
+
+
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+def lazy_adam_row_update(table, mu, nu, count, clipped_grad, rows, lr):
+    """Row-sparse adam on ``rows`` only (torch SparseAdam semantics: moment
+    decay and updates are skipped for untouched rows; bias correction uses
+    the per-table step count). Duplicate row ids are safe: every duplicate
+    computes the identical new value, so the scatter-set is deterministic."""
+    g = clipped_grad[rows]
+    mu_new = ADAM_B1 * mu[rows] + (1.0 - ADAM_B1) * g
+    nu_new = ADAM_B2 * nu[rows] + (1.0 - ADAM_B2) * g * g
+    t = count + 1
+    mu_hat = mu_new / (1.0 - ADAM_B1 ** t)
+    nu_hat = nu_new / (1.0 - ADAM_B2 ** t)
+    delta = -lr * mu_hat / (jnp.sqrt(nu_hat) + ADAM_EPS)
+    return (table.at[rows].set(table[rows] + delta.astype(table.dtype)),
+            mu.at[rows].set(mu_new), nu.at[rows].set(nu_new), t)
 
 
 class RankModel:
@@ -131,6 +175,7 @@ class RankModel:
         self._net_reg = get_regularizer(net_regularizer)
         self._reduce_lr_on_plateau = reduce_lr_on_plateau
         self._verbose = kwargs.get("verbose", 1)
+        self._lazy_adam = bool(kwargs.get("lazy_adam", False))
         self._max_len = kwargs.get("max_len", 50)   # LongCTR batch layout
         self.validation_metrics = kwargs.get("metrics", ["AUC"])
         self.model_dir = os.path.join(kwargs.get("model_root", "./checkpoints"),
@@ -204,7 +249,9 @@ class RankModel:
             {"params": init_rng, "dropout": init_rng},
             self._example_batch(), train=False)
         params = variables["params"]
-        model_state = {k: v for k, v in variables.items() if k != "params"}
+        # "touched_rows" is a per-step trace (lazy adam), not model state
+        model_state = {k: v for k, v in variables.items()
+                       if k not in ("params", "touched_rows")}
         self._build_state(params, model_state)
         self.count_parameters()
 
@@ -215,17 +262,36 @@ class RankModel:
         existing/restored ``opt_state``."""
         self._accumulation_steps = int(
             self.kwargs.get("accumulation_steps", 1) or 1)
+        if self._lazy_adam and (self._emb_reg or self._net_reg):
+            raise ValueError(
+                "lazy_adam skips untouched table rows, but regularizers "
+                "produce dense gradients on every row — disable one.")
         self._tx = make_optimizer(self._optimizer_name, self._learning_rate,
                                   max_gradient_norm,
-                                  self._accumulation_steps)
+                                  self._accumulation_steps,
+                                  lazy_adam=self._lazy_adam)
         self._max_gradient_norm = max_gradient_norm
+
+    def _init_opt_state(self, params):
+        base = self._tx.init(params)
+        if not self._lazy_adam:
+            return base
+        flat = flax.traverse_util.flatten_dict(params)
+        lazy = {}
+        for path, leaf in flat.items():
+            if _is_lazy_table_path(path):
+                lazy[path + ("mu",)] = jnp.zeros_like(leaf)
+                lazy[path + ("nu",)] = jnp.zeros_like(leaf)
+                lazy[path + ("count",)] = jnp.zeros((), jnp.int32)
+        return {"base": base,
+                "lazy": flax.traverse_util.unflatten_dict(lazy)}
 
     def _build_state(self, params, model_state,
                      max_gradient_norm=10.0):
         self._ensure_optimizer(max_gradient_norm)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
-            model_state=model_state, opt_state=self._tx.init(params))
+            model_state=model_state, opt_state=self._init_opt_state(params))
 
     def distribute(self, mesh):
         """Place the train state on a (data, model) mesh: embedding tables
@@ -243,10 +309,12 @@ class RankModel:
         # adam moments mirror the params tree, so their tree paths contain the
         # param names and the same sharding rule applies; jit alone does not
         # propagate input shardings to init outputs, so pin out_shardings.
-        opt_shapes = jax.eval_shape(self._tx.init, params)
+        if getattr(self, "_tx", None) is None:
+            self._ensure_optimizer()
+        opt_shapes = jax.eval_shape(self._init_opt_state, params)
         opt_shardings = jax.tree_util.tree_map_with_path(
             lambda p, l: param_sharding(mesh, p, l), opt_shapes)
-        opt_state = jax.jit(self._tx.init,
+        opt_state = jax.jit(self._init_opt_state,
                             out_shardings=opt_shardings)(params)
         self.state = TrainState(
             step=jax.device_put(self.state.step, replicated(mesh)),
@@ -332,6 +400,7 @@ class RankModel:
         net = self.net
         tx = self._tx
         compute_dtype = self._compute_dtype
+        lazy = self._lazy_adam
 
         def train_step(state, batch, rng):
             y_true = self.get_labels(batch)
@@ -344,10 +413,12 @@ class RankModel:
                     # (v5e MXU is bf16-native; f32 matmul is emulated)
                     apply_params = jax.tree_util.tree_map(
                         lambda x: x.astype(compute_dtype), params)
+                mutable = list(state.model_state.keys()) or ["batch_stats"]
+                if lazy:
+                    mutable = mutable + ["touched_rows"]
                 outputs, new_ms = net.apply(
                     {"params": apply_params, **state.model_state}, batch,
-                    train=True, rngs={"dropout": rng},
-                    mutable=list(state.model_state.keys()) or ["batch_stats"])
+                    train=True, rngs={"dropout": rng}, mutable=mutable)
                 if compute_dtype is not None:
                     outputs = {k: (v.astype(jnp.float32)
                                    if hasattr(v, "astype") else v)
@@ -358,8 +429,13 @@ class RankModel:
 
             (loss, new_ms), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            if not lazy:
+                updates, new_opt = tx.update(grads, state.opt_state,
+                                             state.params)
+                new_params = optax.apply_updates(state.params, updates)
+            else:
+                new_params, new_opt, new_ms = self._lazy_update(
+                    state, grads, new_ms)
             new_state = state.replace(
                 step=state.step + 1, params=new_params,
                 model_state=new_ms if new_ms else state.model_state,
@@ -367,6 +443,49 @@ class RankModel:
             return new_state, loss
 
         return train_step
+
+    def _lazy_update(self, state, grads, new_ms):
+        """Dense update for everything except fused tables; row-sparse adam
+        on the table rows the embedding layer actually gathered (recorded
+        in the ``touched_rows`` collection). On TPU this skips the dense
+        [V, D] moment read+write per step — worthwhile exactly when the
+        touched-row count is small, i.e. the LongCTR dedup path."""
+        new_ms = dict(new_ms)
+        touched = new_ms.pop("touched_rows", {})
+        updates, new_base = self._tx.update(grads, state.opt_state["base"],
+                                            state.params)
+        flat_upd = flax.traverse_util.flatten_dict(updates)
+        flat_touched = {
+            p: v for p, v in flax.traverse_util.flatten_dict(touched).items()
+            if _is_lazy_table_path(p)}
+        # masked() passed table grads through unchanged — capture and zero
+        clipped = {}
+        for path in flat_touched:
+            clipped[path] = flat_upd[path]
+            flat_upd[path] = jnp.zeros_like(flat_upd[path])
+        new_params = optax.apply_updates(
+            state.params, flax.traverse_util.unflatten_dict(flat_upd))
+        lr_nodes = self._find_hyperparam_nodes(new_base)
+        lr = lr_nodes[0].hyperparams["learning_rate"]
+        flat_params = flax.traverse_util.flatten_dict(new_params)
+        flat_lazy = flax.traverse_util.flatten_dict(
+            state.opt_state["lazy"])
+        for path, sown in flat_touched.items():
+            rows = jnp.concatenate(
+                [jnp.reshape(a, (-1,)) for a in sown])
+            table, mu, nu, count = (
+                flat_params[path], flat_lazy[path + ("mu",)],
+                flat_lazy[path + ("nu",)], flat_lazy[path + ("count",)])
+            table, mu, nu, count = lazy_adam_row_update(
+                table, mu, nu, count, clipped[path], rows, lr)
+            flat_params[path] = table
+            flat_lazy[path + ("mu",)] = mu
+            flat_lazy[path + ("nu",)] = nu
+            flat_lazy[path + ("count",)] = count
+        new_opt = {"base": new_base,
+                   "lazy": flax.traverse_util.unflatten_dict(flat_lazy)}
+        return (flax.traverse_util.unflatten_dict(flat_params), new_opt,
+                new_ms)
 
     def _make_predict_step(self):
         net = self.net
@@ -605,7 +724,10 @@ class RankModel:
                 if hasattr(node, attr):
                     visit(getattr(node, attr))
                     return
-            if isinstance(node, (tuple, list)):
+            if isinstance(node, dict):
+                for child in node.values():
+                    visit(child)
+            elif isinstance(node, (tuple, list)):
                 for child in node:
                     visit(child)
 

@@ -371,12 +371,22 @@ class FeatureEmbedding(nn.Module):
         return entry
 
     # ------------------------------------------------------------- lookups
+    def _sow_touched(self, dim, global_ids):
+        """Record which fused-table rows this step gathers (collection
+        ``touched_rows``, mirroring the param tree) — consumed by the
+        opt-in lazy-adam row updates in models/base.py. No-op unless the
+        caller makes the collection mutable."""
+        self.sow("touched_rows", f"table_d{dim}",
+                 global_ids.reshape(-1))
+
     def _lookup_fused(self, batch, plan, name, inv=None):
         table = self.tables[plan["dim"]]
         ids = jnp.asarray(batch[name]).astype(jnp.int32)
         if inv is None:
+            self._sow_touched(plan["dim"], ids + plan["offset"])
             rows = table_gather(table, ids + plan["offset"])
         else:   # loader-deduped dict: ids are unique, inv expands them
+            self._sow_touched(plan["dim"], ids + plan["offset"])
             rows = table_gather_expand(table, ids + plan["offset"], inv)
             ids = jnp.take(ids, inv, axis=0)
         pad = plan["padding_idx"]
@@ -439,6 +449,7 @@ class FeatureEmbedding(nn.Module):
                 pad = plan["padding_idx"]
                 masks.append((local != pad) if pad >= 0
                              else jnp.ones_like(local, jnp.bool_))
+            self._sow_touched(dim, jnp.stack(ids))
             emb = table_gather_expand_multi(
                 table, jnp.stack(ids), inv,
                 jnp.stack(masks))                  # [len(inv), k*dim]
