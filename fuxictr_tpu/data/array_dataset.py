@@ -44,14 +44,28 @@ def load_columns(feature_map, data_path):
     else:
         if not os.path.splitext(data_path)[1]:
             data_path += ".parquet"
-        import pandas as pd
-        df = pd.read_parquet(data_path)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        table = pq.read_table(data_path)
 
         def get(col):
-            s = df[col]
-            if s.dtype == "object" or str(s.dtype).startswith("list"):
-                return np.array(s.to_list())
-            return s.to_numpy()
+            arr = table[col].combine_chunks()
+            if pa.types.is_list(arr.type) or \
+                    pa.types.is_large_list(arr.type):
+                # fixed-length sequences (the pipeline pads at build time):
+                # flatten arrow buffers directly — orders of magnitude
+                # faster than np.array(series.to_list()) at scale
+                offsets = np.asarray(arr.offsets)
+                lengths = np.diff(offsets)
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                if len(lengths) and np.all(lengths == lengths[0]):
+                    return flat.reshape(len(arr), int(lengths[0]))
+                out = np.zeros((len(arr), int(lengths.max() or 0)),
+                               flat.dtype)
+                for i, (s, e) in enumerate(zip(offsets[:-1], offsets[1:])):
+                    out[i, :e - s] = flat[s:e]
+                return out
+            return arr.to_numpy(zero_copy_only=False)
 
     columns = {}
     for name, spec in feature_map.features.items():

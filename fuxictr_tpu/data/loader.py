@@ -9,9 +9,9 @@ Design (vs reference /root/reference/fuxictr/pytorch/dataloaders/*):
     prefetch thread (double buffering) instead of torch DataPipes.
 """
 
+import collections
+import itertools
 import logging
-import queue
-import threading
 
 import numpy as np
 
@@ -146,24 +146,29 @@ class BlockStreamingDataLoader(_BaseLoader):
         import pyarrow.parquet as pq
         return pq.ParquetFile(path).metadata.num_rows
 
-    def _block_iter(self, rng):
+    def _block_iter(self, rng, workers=3, ahead=2):
+        """Yield part blocks in order with up to ``workers`` parts decoding
+        concurrently (parquet decode releases the GIL) and ``ahead`` decoded
+        blocks buffered — keeps the accelerator fed when a single-part
+        decode is slower than the device consumes it."""
         parts = list(self.parts)
         if self.shuffle and rng is not None:
             rng.shuffle(parts)
-        q = queue.Queue(maxsize=2)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = collections.deque()
+            it = iter(parts)
 
-        def produce():
-            for p in parts:
-                q.put(load_columns(self.feature_map, p))
-            q.put(None)
+            def submit(n):
+                for p in itertools.islice(it, n):
+                    pending.append(
+                        pool.submit(load_columns, self.feature_map, p))
 
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        while True:
-            block = q.get()
-            if block is None:
-                return
-            yield block
+            submit(workers + ahead)
+            while pending:
+                block = pending.popleft().result()
+                submit(1)
+                yield block
 
     def __iter__(self):
         if self.shuffle:

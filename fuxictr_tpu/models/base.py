@@ -621,6 +621,7 @@ class RankModel:
             self._jit_multi_step = self._make_multi_step()
         pending = []
         pending_losses = []
+        window = {"t0": time.perf_counter(), "examples": 0}
 
         def flush():
             if not pending:
@@ -661,6 +662,8 @@ class RankModel:
                 flush()
             pending_sig = sig
             pending.append(batch)
+            window["examples"] += int(
+                np.sum(np.asarray(batch[SAMPLE_MASK_KEY]) > 0))
             if len(pending) == k:
                 flush()
             boundary = self._total_steps % self._eval_steps == 0
@@ -668,8 +671,12 @@ class RankModel:
                 flush()
                 train_loss = float(np.mean(jax.device_get(pending_losses)))
                 pending_losses = []
-                logging.info("Train loss: %.6f", train_loss)
+                dt = max(time.perf_counter() - window["t0"], 1e-9)
+                logging.info("Train loss: %.6f (%.0f examples/s)",
+                             train_loss, window["examples"] / dt)
                 self.eval_step()
+                window["t0"] = time.perf_counter()
+                window["examples"] = 0
             if self._stop_training:
                 break
         flush()
