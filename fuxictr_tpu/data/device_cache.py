@@ -1,0 +1,230 @@
+"""Device-resident dataset cache: stage a whole split into HBM once, then
+feed the jitted step only a tiny per-batch row-index array.
+
+TPU-native rationale (no reference equivalent — the reference's loaders,
+e.g. /root/reference/fuxictr/pytorch/dataloaders/parquet_dataloader.py,
+re-send every batch from host memory): on a remote-TPU / tunneled backend
+the per-step host->device copy of a full batch (~1.3MB for Criteo at
+B=8192) dominates the 16.75ms compiled step. Caching the epoch in HBM cuts
+the per-step wire cost to a [B] int32 row-index + [B] f32 mask (~64KB),
+and the on-device row gather is cheap because rows are packed CONTIGUOUSLY:
+one ``[N, n_int_cols]`` int32 block and one ``[N, n_float_cols]`` f32
+block, so each sampled row is a single wide DMA instead of one tiny gather
+per feature column (gather cost is per-row latency-bound; see
+BENCHMARKS.md gather/scatter cost laws).
+
+Batches from this loader look like::
+
+    {"__rows__":        [B] int32   (-1 marks padding),
+     "__cache_int__":   [N, Wi] int32   (device-resident, passed by ref),
+     "__cache_float__": [N, Wf] float32 (device-resident, passed by ref),
+     "__mask__":        [B] float32}
+
+``expand_cached_batch`` (called inside the jitted train/predict steps)
+row-gathers the two blocks and re-slices them into the standard
+``{feature_name: array}`` batch the model networks consume, so every model
+in the zoo works unchanged on top of the cache.
+"""
+
+import logging
+
+import numpy as np
+
+from fuxictr_tpu.data.array_dataset import (SAMPLE_MASK_KEY, expand_path,
+                                            load_columns)
+
+ROWS_KEY = "__rows__"
+CACHE_INT_KEY = "__cache_int__"
+CACHE_FLOAT_KEY = "__cache_float__"
+LABELS_KEY = "__labels__"      # host-side, for evaluate() only
+GROUP_KEY = "__group__"        # host-side group_id, for grouped metrics
+
+
+def cache_layout(feature_map):
+    """Static column layout: name -> (block, offset, width, kind).
+
+    block is "int" or "float"; width is 1 (scalar), max_len (sequence) or
+    pretrain_dim (embedding). Raises for features a packed numeric block
+    cannot represent (string metas).
+    """
+    layout = {}
+    wi = wf = 0
+    for name, spec in feature_map.features.items():
+        t = spec["type"]
+        if t in ("categorical",):
+            layout[name] = ("int", wi, 1, t)
+            wi += 1
+        elif t == "sequence":
+            w = int(spec["max_len"])
+            layout[name] = ("int", wi, w, t)
+            wi += w
+        elif t == "numeric":
+            layout[name] = ("float", wf, 1, t)
+            wf += 1
+        elif t == "embedding":
+            w = int(spec["pretrain_dim"])
+            layout[name] = ("float", wf, w, t)
+            wf += w
+        elif t == "meta":
+            # group_id-style integer metas ride in the int block
+            layout[name] = ("int", wi, 1, t)
+            wi += 1
+        else:
+            raise ValueError(
+                f"device cache cannot pack feature type {t!r} ({name})")
+    for label in feature_map.labels:
+        layout[label] = ("float", wf, 1, "label")
+        wf += 1
+    return layout, wi, wf
+
+
+def expand_cached_batch(feature_map, batch):
+    """Inside-jit: turn a row-index batch into a standard feature batch by
+    gathering packed rows from the device cache. No-op for ordinary
+    batches."""
+    if ROWS_KEY not in batch:
+        return batch
+    import jax.numpy as jnp
+    layout, _, _ = cache_layout(feature_map)
+    idx = jnp.maximum(batch[ROWS_KEY], 0)
+    rows = {}
+    if CACHE_INT_KEY in batch:
+        rows["int"] = batch[CACHE_INT_KEY][idx]
+    if CACHE_FLOAT_KEY in batch:
+        rows["float"] = batch[CACHE_FLOAT_KEY][idx]
+    out = {}
+    for name, (block, lo, w, kind) in layout.items():
+        col = rows[block][:, lo:lo + w]
+        if w == 1 and kind not in ("sequence", "embedding"):
+            col = col[:, 0]
+        out[name] = col
+    out[SAMPLE_MASK_KEY] = batch[SAMPLE_MASK_KEY]
+    return out
+
+
+class DeviceCacheDataLoader:
+    """Loads every part file, packs columns into two row-major blocks, and
+    stages them on the accelerator once. Iteration yields index batches
+    (see module docstring). Multi-host: each process stages only its
+    contiguous ``1/num_hosts`` row slice (same contract as
+    InMemoryDataLoader).
+
+    ``mesh``: optional jax.sharding.Mesh — the cache blocks are placed
+    replicated on the mesh so sharded train steps can consume them.
+    """
+
+    num_samples = 0
+    num_blocks = 1
+    num_batches = 0
+
+    def __init__(self, feature_map, data_path, split="train", batch_size=32,
+                 shuffle=False, seed=2019, host_id=0, num_hosts=1,
+                 mesh=None, **kwargs):
+        import jax
+
+        self.feature_map = feature_map
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+        layout, wi, wf = cache_layout(feature_map)
+        self._layout = layout
+        parts = expand_path(data_path)
+        if not parts:
+            raise ValueError(f"no data parts found at {data_path}")
+        # count first so the blocks can be preallocated and filled part by
+        # part (peak host RAM = one part + the packed blocks)
+        import pyarrow.parquet as pq
+        counts = []
+        for p in parts:
+            if p.endswith(".npz"):
+                with np.load(p, allow_pickle=True) as d:
+                    counts.append(len(d[d.files[0]]))
+            elif p.endswith(".tfrecord"):
+                from fuxictr_tpu.data.tfrecord import count_records
+                counts.append(count_records(p))
+            else:
+                counts.append(pq.ParquetFile(p).metadata.num_rows)
+        total = int(sum(counts))
+        self.num_samples = total
+        self.num_blocks = len(parts)
+
+        lo_row = 0
+        hi_row = total
+        if num_hosts > 1:
+            per = int(np.ceil(total / num_hosts))
+            lo_row = host_id * per
+            hi_row = min(lo_row + per, total)
+            self._n_rows = per          # padded: same batch count per host
+        else:
+            self._n_rows = total
+        n_local = max(hi_row - lo_row, 0)
+        self._n_valid = n_local
+        block_int = np.zeros((self._n_rows, wi), np.int32)
+        block_float = np.zeros((self._n_rows, wf), np.float32)
+
+        row = 0
+        for p, cnt in zip(parts, counts):
+            p_lo, p_hi = row, row + cnt
+            row = p_hi
+            s = max(p_lo, lo_row)
+            e = min(p_hi, hi_row)
+            if s >= e:
+                continue
+            cols = load_columns(feature_map, p)
+            sl = slice(s - p_lo, e - p_lo)
+            dst = slice(s - lo_row, e - lo_row)
+            for name, (block, lo, w, kind) in layout.items():
+                v = cols[name][sl]
+                target = block_int if block == "int" else block_float
+                target[dst, lo:lo + w] = v.reshape(v.shape[0], w)
+        # host-side copies of what evaluate() reads WITHOUT the device:
+        # labels (+ group_id) — tiny next to the feature blocks
+        lab_cols = [layout[lb][1] for lb in feature_map.labels]
+        self.host_labels = block_float[:, lab_cols].copy()
+        self.host_group = None
+        gid = getattr(feature_map, "group_id", None)
+        if gid is not None and gid in layout:
+            self.host_group = block_int[:, layout[gid][1]].copy()
+        logging.info(
+            "Device cache: %d rows staged (%.2f GB int + %.2f GB float)",
+            self._n_valid, block_int.nbytes / 2 ** 30,
+            block_float.nbytes / 2 ** 30)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            placement = NamedSharding(mesh, P())
+            self._dev_int = jax.device_put(block_int, placement)
+            self._dev_float = jax.device_put(block_float, placement)
+        else:
+            self._dev_int = jax.device_put(block_int)
+            self._dev_float = jax.device_put(block_float)
+        jax.block_until_ready((self._dev_int, self._dev_float))
+        self.num_batches = int(np.ceil(self._n_rows / batch_size))
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self):
+        n = self._n_rows
+        order = np.arange(n, dtype=np.int32)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            mask = (idx < self._n_valid).astype(np.float32)
+            if len(idx) < bs:
+                pad = np.full(bs - len(idx), -1, np.int32)
+                idx = np.concatenate([idx, pad])
+                mask = np.concatenate(
+                    [mask, np.zeros(bs - len(mask), np.float32)])
+            idx = np.where(mask > 0, idx, -1).astype(np.int32)
+            batch = {ROWS_KEY: idx, SAMPLE_MASK_KEY: mask,
+                     CACHE_INT_KEY: self._dev_int,
+                     CACHE_FLOAT_KEY: self._dev_float,
+                     LABELS_KEY: self.host_labels[np.maximum(idx, 0)]}
+            if self.host_group is not None:
+                batch[GROUP_KEY] = self.host_group[np.maximum(idx, 0)]
+            yield batch

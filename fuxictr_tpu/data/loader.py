@@ -253,8 +253,14 @@ class RankDataLoader:
                  streaming=False, data_format="npz", **kwargs):
         logging.info("Loading datasets...")
         loader_cls = kwargs.pop("data_loader", None)
+        device_cache = kwargs.pop("device_cache", False)
         if loader_cls is None:
-            loader_cls = BlockStreamingDataLoader if streaming else InMemoryDataLoader
+            if device_cache:
+                from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+                loader_cls = DeviceCacheDataLoader
+            else:
+                loader_cls = (BlockStreamingDataLoader if streaming
+                              else InMemoryDataLoader)
         train_gen = valid_gen = test_gen = None
         self.stage = stage
         if stage in ("both", "train"):

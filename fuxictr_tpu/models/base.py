@@ -32,6 +32,7 @@ import optax
 
 from fuxictr_tpu.config import Monitor
 from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
+from fuxictr_tpu.data.device_cache import ROWS_KEY, expand_cached_batch
 from fuxictr_tpu.metrics import evaluate_metrics
 from fuxictr_tpu.ops.common import get_regularizer
 from fuxictr_tpu.parallel import (param_sharding, replicated, shard_batch,
@@ -383,14 +384,23 @@ class RankModel:
 
         @partial(jax.jit, donate_argnums=(0,))
         def multi_step(state, batches, rng):
+            # device-cache blocks ride OUTSIDE the scan (no leading K dim,
+            # and they must not be stacked/copied per step)
+            cache = {k: v for k, v in batches.items()
+                     if k.startswith("__cache")}
+            xs = {k: v for k, v in batches.items()
+                  if not k.startswith("__cache")}
+
             def body(s, inp):
                 batch, r = inp
+                if cache:
+                    batch = dict(batch, **cache)
                 s, loss = train_step_inner(s, batch, r)
                 return s, loss
 
-            k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            k = jax.tree_util.tree_leaves(xs)[0].shape[0]
             rngs = jax.random.split(rng, k)
-            state, losses = jax.lax.scan(body, state, (batches, rngs))
+            state, losses = jax.lax.scan(body, state, (xs, rngs))
             return state, jnp.mean(losses)
 
         return multi_step
@@ -403,6 +413,9 @@ class RankModel:
         lazy = self._lazy_adam
 
         def train_step(state, batch, rng):
+            # device-cache batches carry only row indices; expand to the
+            # standard feature dict by an on-device packed-row gather
+            batch = expand_cached_batch(self.feature_map, batch)
             y_true = self.get_labels(batch)
             weights = batch[SAMPLE_MASK_KEY]
 
@@ -495,6 +508,7 @@ class RankModel:
 
         @jax.jit
         def predict_step(state, batch):
+            batch = expand_cached_batch(self.feature_map, batch)
             params = state.params
             if compute_dtype is not None:
                 params = jax.tree_util.tree_map(
@@ -626,8 +640,14 @@ class RankModel:
         def flush():
             if not pending:
                 return
+            # device-cache blocks are per-epoch constants already resident
+            # on device: np.stack would download+copy them K times
+            cache = {ck: v for ck, v in pending[0].items()
+                     if ck.startswith("__cache")}
+            plain = [{bk: v for bk, v in b.items()
+                      if not bk.startswith("__cache")} for b in pending]
             stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack(xs), *pending)
+                lambda *xs: np.stack(xs), *plain)
             pending.clear()
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -643,6 +663,8 @@ class RankModel:
                         lambda x: _put(x, P(None, "data",
                                             *(None,) * (np.ndim(x) - 2))), v)
                     for k, v in stacked.items()}
+            if cache:
+                stacked = dict(stacked, **cache)
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, loss = self._jit_multi_step(
                 self.state, stacked, step_rng)
@@ -769,7 +791,9 @@ class RankModel:
             preds.append(np.asarray(y).reshape(len(batch[SAMPLE_MASK_KEY]), -1))
             masks.append(batch[SAMPLE_MASK_KEY] > 0)
             if self.feature_map.group_id is not None:
-                groups.append(batch[self.feature_map.group_id])
+                from fuxictr_tpu.data.device_cache import GROUP_KEY
+                groups.append(batch[GROUP_KEY] if ROWS_KEY in batch
+                              else batch[self.feature_map.group_id])
         mask = np.concatenate(masks)
         y_pred = np.concatenate(preds)[mask]
         group_id = np.concatenate(groups)[mask] if groups else None
@@ -786,15 +810,21 @@ class RankModel:
         from fuxictr_tpu.parallel.distributed import (all_gather_host,
                                                       is_multiprocess)
         gather = all_gather_host if is_multiprocess() else np.asarray
+        from fuxictr_tpu.data.device_cache import GROUP_KEY, LABELS_KEY
         for batch in data_generator:
             y = self._jit_predict_step(self.state, self._place_batch(batch))
             y = gather(y)
             m = gather(batch[SAMPLE_MASK_KEY]) > 0
             y_pred_parts.append(np.asarray(y).reshape(len(m), -1)[m])
-            y_true_parts.append(
-                gather(self.get_labels(batch)).reshape(len(m), -1)[m])
+            if ROWS_KEY in batch:   # device-cache batch: labels ride host-side
+                y_true = batch[LABELS_KEY][:, :1]
+            else:
+                y_true = self.get_labels(batch)
+            y_true_parts.append(gather(y_true).reshape(len(m), -1)[m])
             if self.feature_map.group_id is not None:
-                groups.append(gather(batch[self.feature_map.group_id])[m])
+                g = (batch[GROUP_KEY] if ROWS_KEY in batch
+                     else batch[self.feature_map.group_id])
+                groups.append(gather(g)[m])
         y_pred = np.concatenate(y_pred_parts).reshape(-1).astype(np.float64)
         y_true = np.concatenate(y_true_parts).reshape(-1).astype(np.float64)
         group_id = np.concatenate(groups) if groups else None
@@ -817,11 +847,16 @@ class RankModel:
             fd.write(flax.serialization.to_bytes(payload))
 
     def load_weights(self, checkpoint):
+        # template built host-side from shapes only: device_get of the live
+        # params here costs a full device->host download of the tables
+        # (minutes over the remote-TPU tunnel) for bytes that from_bytes
+        # immediately overwrites
+        template = jax.tree_util.tree_map(
+            lambda x: np.zeros(x.shape, x.dtype),
+            {"params": self.state.params,
+             "model_state": self.state.model_state})
         with open(checkpoint, "rb") as fd:
-            payload = flax.serialization.from_bytes(
-                {"params": jax.device_get(self.state.params),
-                 "model_state": jax.device_get(self.state.model_state)},
-                fd.read())
+            payload = flax.serialization.from_bytes(template, fd.read())
         self.state = self.state.replace(
             params=payload["params"], model_state=payload["model_state"])
 

@@ -70,7 +70,8 @@ def shard_batch(mesh, batch):
     the expanded rows where they meet the data-sharded tensors."""
     out = {}
     for key, value in batch.items():
-        if key == "__items__":
+        if key == "__items__" or key.startswith("__cache"):
+            # device-cache blocks / side tables: not batch-aligned -> replicate
             out[key] = jax.tree_util.tree_map(
                 lambda x: _put(mesh, x, NamedSharding(mesh, P())), value)
         else:

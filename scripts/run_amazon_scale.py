@@ -107,10 +107,14 @@ def phase_train(epochs=1, batch_size=2048, steps_per_call=8,
             batch_size=batch_size, data_format="parquet",
             streaming=True, shuffle=False).make_iterator()
         logs = model.evaluate(gen)
+        import glob
+
+        import pyarrow.parquet as pq
         true_logit = np.load(f"{RAW}/{split}_true_logit.npy")
-        y_true = np.concatenate(
-            [np.asarray(b["label"])[np.asarray(b["__mask__"]) > 0]
-             for b in gen])
+        y_true = np.concatenate([
+            pq.read_table(p, columns=["label"])["label"].to_numpy()
+            for p in sorted(glob.glob(
+                f"{DATA_ROOT}/{DATASET_ID}/{split}/*.parquet"))])
         bayes = evaluate_metrics(
             y_true[:len(true_logit)],
             1 / (1 + np.exp(-true_logit[:len(y_true)])), ["AUC", "logloss"])

@@ -59,7 +59,7 @@ def phase_build():
 
 def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
                 steps_per_call=10, compute_dtype="bfloat16",
-                sample_rows=None):
+                loader="streaming"):
     import numpy as np
 
     from fuxictr_tpu.config import set_logger
@@ -70,8 +70,10 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
 
     params = dict(PARAMS)
     params.update(
+        model_id=f"{model_name}_{DATASET_ID}",
         model=model_name, batch_size=batch_size, shuffle=True,
-        streaming=True, data_format="parquet",
+        streaming=loader == "streaming",
+        device_cache=loader == "device", data_format="parquet",
         train_data=f"{DATA_ROOT}/{DATASET_ID}/train/",
         valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
         test_data=f"{DATA_ROOT}/{DATASET_ID}/test/",
@@ -113,13 +115,21 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
             fm, stage="test",
             test_data=f"{DATA_ROOT}/{DATASET_ID}/{split}/",
             batch_size=batch_size, data_format="parquet",
-            streaming=True, shuffle=False).make_iterator()
+            streaming=loader == "streaming",
+            device_cache=loader == "device",
+            shuffle=False).make_iterator()
         logs = model.evaluate(gen)
-        # Bayes ceiling on the same rows (split files preserve row order)
+        # Bayes ceiling on the same rows (split files preserve row order);
+        # labels read straight from the parquet parts — single-column
+        # decode, no second full pass
+        import glob
+
+        import pyarrow.parquet as pq
         true_logit = np.load(f"{RAW}/{split}_true_logit.npy")
-        y_true = np.concatenate(
-            [np.asarray(b["label"])[np.asarray(b["__mask__"]) > 0]
-             for b in gen])
+        y_true = np.concatenate([
+            pq.read_table(p, columns=["label"])["label"].to_numpy()
+            for p in sorted(glob.glob(
+                f"{DATA_ROOT}/{DATASET_ID}/{split}/*.parquet"))])
         bayes = evaluate_metrics(y_true[:len(true_logit)],
                                  1 / (1 + np.exp(-true_logit[:len(y_true)])),
                                  ["AUC", "logloss"])
@@ -140,9 +150,11 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="DCNv2")
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--loader", default="streaming",
+                    choices=["streaming", "memory", "device"])
     args = ap.parse_args()
     if args.phase in ("build", "all"):
         phase_build()
     if args.phase in ("train", "all"):
         phase_train(args.model, epochs=args.epochs,
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size, loader=args.loader)

@@ -1,0 +1,140 @@
+"""Device-resident dataset cache (fuxictr_tpu/data/device_cache.py):
+batches reconstructed on-device from packed HBM blocks must be EXACTLY the
+batches the in-memory loader yields, and training through the cache must
+match in-memory training (identical shuffle stream by construction)."""
+
+import numpy as np
+import pytest
+
+from fuxictr_tpu.config import load_config
+from fuxictr_tpu.data import RankDataLoader
+from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
+from fuxictr_tpu.data.device_cache import (DeviceCacheDataLoader,
+                                           expand_cached_batch)
+from fuxictr_tpu.experiment import run_expid
+
+CFG = "/root/repo/configs/tiny"
+
+
+def _tiny_feature_map():
+    from fuxictr_tpu.features import FeatureMap
+    params = load_config(CFG, "DeepFM_test")
+    fm = FeatureMap(params["dataset_id"], params["data_root"])
+    import os
+    fm.load(os.path.join(params["data_root"], params["dataset_id"],
+                         "feature_map.json"), params)
+    return fm, params
+
+
+def test_cache_batches_match_inmemory():
+    fm, params = _tiny_feature_map()
+    data = params["train_data"]
+    mem = RankDataLoader(fm, stage="test", test_data=data, batch_size=32,
+                         shuffle=False, streaming=False,
+                         data_format="parquet").make_iterator()
+    cache = DeviceCacheDataLoader(fm, data, batch_size=32, shuffle=False)
+    assert cache.num_samples == mem.num_samples
+    assert len(cache) == len(mem)
+    for mb, cb in zip(mem, cache):
+        eb = expand_cached_batch(fm, cb)
+        assert set(eb) == set(mb)
+        valid = np.asarray(mb[SAMPLE_MASK_KEY]) > 0  # pad rows: mem zeros
+        for k in mb:                                 # vs cache row-0 clamp
+            got = np.asarray(eb[k]).reshape(np.asarray(mb[k]).shape)
+            np.testing.assert_array_equal(
+                got[valid], np.asarray(mb[k])[valid],
+                err_msg=f"column {k} differs")
+
+
+def test_cache_shuffle_stream_matches_inmemory():
+    """Same seed => the cache loader and the in-memory loader emit the SAME
+    shuffled row order (both use default_rng(seed+epoch))."""
+    fm, params = _tiny_feature_map()
+    data = params["train_data"]
+    mem_iter = iter(
+        RankDataLoader(fm, stage="test", test_data=data, batch_size=16,
+                       shuffle=False, streaming=False,
+                       data_format="parquet").make_iterator())
+    fname = next(n for n, s in fm.features.items()
+                 if s["type"] == "categorical")
+    mem_rows = np.concatenate(
+        [np.asarray(b[fname]) for b in mem_iter])
+    cache = DeviceCacheDataLoader(fm, data, batch_size=16, shuffle=True,
+                                  seed=7)
+    got = []
+    order = []
+    for cb in cache:
+        idx = cb["__rows__"]
+        keep = idx >= 0
+        order.append(idx[keep])
+        eb = expand_cached_batch(fm, cb)
+        got.append(np.asarray(eb[fname])[keep])
+    order = np.concatenate(order)
+    rng = np.random.default_rng(7)
+    expect_order = np.arange(cache.num_samples, dtype=np.int32)
+    rng.shuffle(expect_order)
+    np.testing.assert_array_equal(order, expect_order)
+    np.testing.assert_array_equal(np.concatenate(got), mem_rows[order])
+
+
+def test_cache_mask_and_labels():
+    fm, params = _tiny_feature_map()
+    cache = DeviceCacheDataLoader(fm, params["train_data"], batch_size=64,
+                                  shuffle=False)
+    batches = list(cache)
+    n = cache.num_samples
+    masks = np.concatenate([b[SAMPLE_MASK_KEY] for b in batches])
+    assert masks.sum() == n
+    labels = np.concatenate([b["__labels__"] for b in batches])[:n, 0]
+    mem = RankDataLoader(fm, stage="test", test_data=params["train_data"],
+                         batch_size=64, shuffle=False, streaming=False,
+                         data_format="parquet").make_iterator()
+    mem_labels = np.concatenate(
+        [np.asarray(b[fm.labels[0]])[np.asarray(b[SAMPLE_MASK_KEY]) > 0]
+         for b in mem])
+    np.testing.assert_array_equal(labels, mem_labels)
+
+
+@pytest.mark.parametrize("expid", ["DeepFM_test", "DIN_test"])
+def test_train_through_cache_matches_inmemory(expid, tmp_path):
+    """run_expid with device_cache=True reproduces the in-memory run
+    (same seed + same shuffle stream => same step sequence)."""
+    params = load_config(CFG, expid)
+    params.update(model_root=str(tmp_path / "mem"), epochs=1)
+    ref = run_expid(CFG, expid, params=dict(params))
+    params.update(model_root=str(tmp_path / "cache"), device_cache=True)
+    got = run_expid(CFG, expid, params=dict(params))
+    assert abs(ref["valid"]["AUC"] - got["valid"]["AUC"]) < 2e-3
+    assert abs(ref["valid"]["logloss"] - got["valid"]["logloss"]) < 2e-3
+
+
+def test_cache_scanned_multi_step(tmp_path):
+    """steps_per_call>1 + device cache: blocks ride outside the lax.scan."""
+    params = load_config(CFG, "DeepFM_test")
+    params.update(model_root=str(tmp_path), device_cache=True,
+                  steps_per_call=4, epochs=2)
+    result = run_expid(CFG, "DeepFM_test", params=params)
+    assert 0.0 < result["valid"]["AUC"] <= 1.0
+
+
+def test_cache_on_mesh_cpu():
+    """Replicated cache blocks + data-sharded index batches compile and run
+    under a multi-device CPU mesh."""
+    import jax
+    from jax.sharding import Mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device CPU mesh")
+    fm, params = _tiny_feature_map()
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1),
+                ("data", "model"))
+    from fuxictr_tpu.models import get_model
+    model = get_model("DNN")(fm, model_id="cache_mesh",
+                             embedding_dim=4, hidden_units=[8],
+                             batch_size=8, model_root="/tmp/cache_mesh")
+    model.init_params()
+    model.distribute(mesh)
+    cache = DeviceCacheDataLoader(fm, params["train_data"], batch_size=8,
+                                  shuffle=False, mesh=mesh)
+    with mesh:
+        model.fit(cache, validation_data=cache, epochs=1)
+    assert np.isfinite(float(np.asarray(model.state.step)))
