@@ -103,7 +103,8 @@ def main_criteo():
         return
     buf = io.StringIO()
     with redirect_stdout(buf):
-        rcs.phase_train("DCNv2", epochs=1)
+        rcs.phase_train("DCNv2", epochs=1,
+                        loader=os.environ.get("BENCH_LOADER", "device"))
     result = {}
     for line in buf.getvalue().splitlines():
         try:

@@ -119,13 +119,14 @@ class DeviceCacheDataLoader:
 
     def __init__(self, feature_map, data_path, split="train", batch_size=32,
                  shuffle=False, seed=2019, host_id=0, num_hosts=1,
-                 mesh=None, **kwargs):
+                 mesh=None, device_shuffle=True, **kwargs):
         import jax
 
         self.feature_map = feature_map
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        self.device_shuffle = device_shuffle
         self._epoch = 0
         layout, wi, wf = cache_layout(feature_map)
         self._layout = layout
@@ -203,6 +204,58 @@ class DeviceCacheDataLoader:
 
     def __len__(self):
         return self.num_batches
+
+    def cache_refs(self):
+        """The device-resident packed blocks, keyed as batch entries."""
+        return {CACHE_INT_KEY: self._dev_int,
+                CACHE_FLOAT_KEY: self._dev_float}
+
+    def _padded_order(self, order):
+        """-1-mark invalid rows and pad to num_batches*batch_size — the
+        same stream ``__iter__`` yields, as one flat array."""
+        order = np.where(order < self._n_valid, order, -1).astype(np.int32)
+        pad = self.num_batches * self.batch_size - len(order)
+        if pad:
+            order = np.concatenate([order, np.full(pad, -1, np.int32)])
+        return order
+
+    def epoch_order(self):
+        """One training epoch's row order, padded with -1, as a DEVICE
+        array. Entire-epoch execution slices [B] windows on device so
+        per-step host->device traffic drops to two scalars.
+
+        Two modes: ``device_shuffle=True`` (default) builds the permutation
+        ON DEVICE (jax threefry, keyed seed+epoch) — zero bytes cross the
+        wire per epoch, which matters on tunneled backends where any large
+        transfer can stall. ``device_shuffle=False`` reproduces
+        ``__iter__``'s exact numpy stream (used by the loader-parity
+        tests) at the cost of one order upload per epoch."""
+        import jax
+        import jax.numpy as jnp
+
+        padded = self.num_batches * self.batch_size
+        if self.device_shuffle:
+            n, n_valid = self._n_rows, self._n_valid
+            shuffle = self.shuffle
+
+            @jax.jit
+            def make_order(key):
+                perm = (jax.random.permutation(key, n) if shuffle
+                        else jnp.arange(n))
+                perm = jnp.where(perm < n_valid, perm, -1).astype(jnp.int32)
+                return jnp.concatenate(
+                    [perm, jnp.full((padded - n,), -1, jnp.int32)])
+
+            key = jax.random.PRNGKey(self.seed + self._epoch)
+            if self.shuffle:
+                self._epoch += 1
+            return make_order(key)
+        order = np.arange(self._n_rows, dtype=np.int32)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        return jax.device_put(self._padded_order(order))
 
     def __iter__(self):
         n = self._n_rows

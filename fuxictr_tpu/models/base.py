@@ -196,6 +196,8 @@ class RankModel:
         self._jit_train_step = None
         self._jit_predict_step = None
         self._jit_multi_step = None
+        self._jit_cached_epoch = None
+        self._jit_cached_predict = None
 
     # --------------------------------------------------------------- setup
     def compile(self, optimizer=None, loss=None, lr=None):
@@ -323,6 +325,8 @@ class RankModel:
         self._jit_train_step = None
         self._jit_predict_step = None
         self._jit_multi_step = None
+        self._jit_cached_epoch = None
+        self._jit_cached_predict = None
 
     def _place_batch(self, batch):
         return shard_batch(self.mesh, batch) if self.mesh is not None else batch
@@ -404,6 +408,90 @@ class RankModel:
             return state, jnp.mean(losses)
 
         return multi_step
+
+    def _make_cached_epoch_step(self, batch_size):
+        """Jitted runner for ``chunk`` consecutive train steps whose batches
+        are sliced ON DEVICE from a resident row-order array (device-cache
+        loaders). Per-call host->device traffic: one scalar offset + one rng
+        key — nothing batch-sized crosses the wire, which matters on
+        backends where each transferred array pays fixed latency (see
+        data/device_cache.py)."""
+        body = self._train_step_body()
+        B = int(batch_size)
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+        def run(state, cache, order, start, rng, chunk):
+            rngs = jax.random.split(rng, chunk)
+
+            def scan_body(s, inp):
+                j, r = inp
+                idx = jax.lax.dynamic_slice(order, (start + j * B,), (B,))
+                mask = (idx >= 0).astype(jnp.float32)
+                batch = dict(cache)
+                batch[ROWS_KEY] = idx
+                batch[SAMPLE_MASK_KEY] = mask
+                s, loss = body(s, batch, r)
+                return s, (loss, mask.sum())
+
+            state, (losses, counts) = jax.lax.scan(
+                scan_body, state, (jnp.arange(chunk), rngs))
+            return state, jnp.mean(losses), jnp.sum(counts)
+
+        return run
+
+    def _train_epoch_device(self, loader, k):
+        """Epoch driver for device-cache loaders (single-device path): the
+        row order is staged once, then each dispatch runs ``k`` steps fully
+        on device."""
+        if self._jit_cached_epoch is None:
+            self._jit_cached_epoch = self._make_cached_epoch_step(
+                loader.batch_size)
+        cache = loader.cache_refs()
+        t_order = time.perf_counter()
+        order_dev = loader.epoch_order()
+        jax.block_until_ready(order_dev)
+        t_order = time.perf_counter() - t_order
+        if t_order > 5.0:
+            logging.info("epoch order built in %.1fs (one-time compile)",
+                         t_order)
+        num_batches = loader.num_batches
+        B = loader.batch_size
+        pending_losses = []
+        pending_counts = []
+        window = {"t0": time.perf_counter()}
+        done = 0
+        trace_calls = int(os.environ.get("FUXICTR_CALL_TRACE", 0) or 0)
+        call_no = 0
+        while done < num_batches and not self._stop_training:
+            to_boundary = self._eval_steps - (
+                self._total_steps % self._eval_steps)
+            chunk = int(min(k, num_batches - done, to_boundary))
+            self._rng, call_rng = jax.random.split(self._rng)
+            t_call = time.perf_counter() if call_no < trace_calls else None
+            self.state, loss, count = self._jit_cached_epoch(
+                self.state, cache, order_dev,
+                jnp.asarray(done * B, jnp.int32), call_rng, chunk)
+            if t_call is not None:
+                # loss fetch = true barrier on the remote backend
+                logging.info("call %d (chunk=%d): %.3fs loss=%.5f", call_no,
+                             chunk, time.perf_counter() - t_call,
+                             float(np.asarray(loss)))
+            call_no += 1
+            pending_losses.append(loss)
+            pending_counts.append(count)
+            self._total_steps += chunk
+            done += chunk
+            self._batch_index = done - 1
+            if self._total_steps % self._eval_steps == 0:
+                train_loss = float(np.mean(jax.device_get(pending_losses)))
+                examples = float(np.sum(jax.device_get(pending_counts)))
+                pending_losses = []
+                pending_counts = []
+                dt = max(time.perf_counter() - window["t0"], 1e-9)
+                logging.info("Train loss: %.6f (%.0f examples/s)",
+                             train_loss, examples / dt)
+                self.eval_step()
+                window["t0"] = time.perf_counter()
 
     def _train_step_body(self):
         """Un-jitted single train step (shared by train_step/multi_step)."""
@@ -500,13 +588,12 @@ class RankModel:
         return (flax.traverse_util.unflatten_dict(flat_params), new_opt,
                 new_ms)
 
-    def _make_predict_step(self):
+    def _predict_body(self):
         net = self.net
         act = (jax.nn.sigmoid if self.task == "binary_classification"
                else (lambda x: x))
         compute_dtype = self._compute_dtype
 
-        @jax.jit
         def predict_step(state, batch):
             batch = expand_cached_batch(self.feature_map, batch)
             params = state.params
@@ -518,6 +605,54 @@ class RankModel:
             return act(outputs["y_pred"].astype(jnp.float32))
 
         return predict_step
+
+    def _make_predict_step(self):
+        return jax.jit(self._predict_body())
+
+    def _make_cached_predict(self, batch_size):
+        """Scan ``chunk`` forward batches sliced on device from a resident
+        row order — one dispatch + one [chunk*B] fetch instead of per-batch
+        round trips (device-cache evaluation path)."""
+        body = self._predict_body()
+        B = int(batch_size)
+
+        @partial(jax.jit, static_argnums=(4,))
+        def run(state, cache, n_valid, start, chunk):
+            def scan_body(_, j):
+                idx = start + j * B + jnp.arange(B, dtype=jnp.int32)
+                mask = (idx < n_valid).astype(jnp.float32)
+                batch = dict(cache)
+                batch[ROWS_KEY] = jnp.where(idx < n_valid, idx, 0)
+                batch[SAMPLE_MASK_KEY] = mask
+                return None, body(state, batch)
+
+            _, ys = jax.lax.scan(scan_body, None, jnp.arange(chunk))
+            return ys
+
+        return run
+
+    def _cached_predictions(self, loader, chunk_size=32):
+        """All predictions for a device-cache loader in natural row order
+        (valid rows only), fetched chunk-wise. Row indices are derived
+        on-device from a scalar offset — no index arrays cross the wire."""
+        if self._jit_cached_predict is None:
+            self._jit_cached_predict = self._make_cached_predict(
+                loader.batch_size)
+        cache = loader.cache_refs()
+        B = loader.batch_size
+        num_batches = loader.num_batches
+        n_valid = loader._n_valid
+        parts = []
+        done = 0
+        while done < num_batches:
+            chunk = int(min(chunk_size, num_batches - done))
+            ys = self._jit_cached_predict(
+                self.state, cache, jnp.asarray(n_valid, jnp.int32),
+                jnp.asarray(done * B, jnp.int32), chunk)
+            parts.append(np.asarray(ys).reshape(chunk * B, -1))
+            done += chunk
+        y_pred = np.concatenate(parts)[:n_valid]
+        return y_pred, np.arange(n_valid)
 
     # ----------------------------------------------------------------- fit
     def fit(self, data_generator, epochs=1, validation_data=None,
@@ -533,6 +668,8 @@ class RankModel:
                 max_gradient_norm != getattr(self, "_max_gradient_norm", None):
             self._ensure_optimizer(max_gradient_norm)
         self._jit_train_step = self._make_train_step()
+        self._jit_multi_step = None
+        self._jit_cached_epoch = None
         self._best_metric = (np.inf if self._monitor_mode == "min"
                              else -np.inf)
         self._stopping_steps = 0
@@ -598,6 +735,10 @@ class RankModel:
     def train_epoch(self, data_generator):
         self._batch_index = 0
         k = int(self.kwargs.get("steps_per_call", 1) or 1)
+        if k > 1 and self.mesh is None and hasattr(data_generator,
+                                                   "epoch_order"):
+            # device-cache loader: run the epoch's batches fully on device
+            return self._train_epoch_device(data_generator, k)
         if k > 1:
             return self._train_epoch_scanned(data_generator, k)
         if self.mesh is None:
@@ -809,6 +950,20 @@ class RankModel:
         # all processes compute identical metrics
         from fuxictr_tpu.parallel.distributed import (all_gather_host,
                                                       is_multiprocess)
+        if (self.mesh is None and not is_multiprocess()
+                and hasattr(data_generator, "cache_refs")):
+            # device-cache loader: scanned on-device batches, labels host-side
+            y_pred, rows = self._cached_predictions(data_generator)
+            y_true = data_generator.host_labels[rows, 0]
+            group_id = (data_generator.host_group[rows]
+                        if data_generator.host_group is not None else None)
+            val_logs = evaluate_metrics(
+                y_true.astype(np.float64),
+                y_pred.reshape(-1).astype(np.float64),
+                metrics or self.validation_metrics, group_id)
+            logging.info("[Metrics] " + " - ".join(
+                f"{k}: {v:.6f}" for k, v in val_logs.items()))
+            return val_logs
         gather = all_gather_host if is_multiprocess() else np.asarray
         from fuxictr_tpu.data.device_cache import GROUP_KEY, LABELS_KEY
         for batch in data_generator:
@@ -857,8 +1012,14 @@ class RankModel:
              "model_state": self.state.model_state})
         with open(checkpoint, "rb") as fd:
             payload = flax.serialization.from_bytes(template, fd.read())
+        # stage explicitly (bounded, observable) rather than letting the
+        # next dispatch upload ~the whole model implicitly — large implicit
+        # transfers are where flaky remote backends stall
+        if self.mesh is None:
+            payload = jax.device_put(payload)
         self.state = self.state.replace(
             params=payload["params"], model_state=payload["model_state"])
+        jax.block_until_ready(self.state.params)
 
     def save_checkpoint(self, path, use_orbax=False):
         """Full train state (params + opt + step) for mid-run resume.

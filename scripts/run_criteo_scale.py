@@ -58,8 +58,12 @@ def phase_build():
 
 
 def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
-                steps_per_call=10, compute_dtype="bfloat16",
+                steps_per_call=None, compute_dtype="bfloat16",
                 loader="streaming"):
+    if steps_per_call is None:
+        # device-cache epochs run on device; bigger chunks amortize the
+        # per-dispatch tunnel latency further
+        steps_per_call = 32 if loader == "device" else 10
     import numpy as np
 
     from fuxictr_tpu.config import set_logger
@@ -111,13 +115,16 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
                           round(n_train / train_s)}), flush=True)
 
     for split in ("valid", "test"):
-        gen = RankDataLoader(
-            fm, stage="test",
-            test_data=f"{DATA_ROOT}/{DATASET_ID}/{split}/",
-            batch_size=batch_size, data_format="parquet",
-            streaming=loader == "streaming",
-            device_cache=loader == "device",
-            shuffle=False).make_iterator()
+        if split == "valid":
+            gen = valid_gen     # reuse the already-staged loader
+        else:
+            gen = RankDataLoader(
+                fm, stage="test",
+                test_data=f"{DATA_ROOT}/{DATASET_ID}/{split}/",
+                batch_size=batch_size, data_format="parquet",
+                streaming=loader == "streaming",
+                device_cache=loader == "device",
+                shuffle=False).make_iterator()
         logs = model.evaluate(gen)
         # Bayes ceiling on the same rows (split files preserve row order);
         # labels read straight from the parquet parts — single-column

@@ -117,6 +117,58 @@ def test_cache_scanned_multi_step(tmp_path):
     assert 0.0 < result["valid"]["AUC"] <= 1.0
 
 
+def test_device_epoch_matches_inmemory_scanned(tmp_path):
+    """steps_per_call>1 + device cache now runs whole epoch chunks on
+    device (base.py:_train_epoch_device); same seed + same row stream must
+    reproduce the in-memory scanned run."""
+    params = load_config(CFG, "DeepFM_test")
+    params.update(model_root=str(tmp_path / "mem"), epochs=2,
+                  steps_per_call=4)
+    ref = run_expid(CFG, "DeepFM_test", params=dict(params))
+    params.update(model_root=str(tmp_path / "cache"), device_cache=True,
+                  device_shuffle=False)   # numpy-exact row stream
+    got = run_expid(CFG, "DeepFM_test", params=dict(params))
+    assert abs(ref["valid"]["AUC"] - got["valid"]["AUC"]) < 2e-3
+    assert abs(ref["valid"]["logloss"] - got["valid"]["logloss"]) < 2e-3
+
+
+def test_device_shuffle_epoch_order_is_permutation():
+    """device_shuffle=True: each epoch's on-device order covers every valid
+    row exactly once, -1-pads the tail, and differs between epochs."""
+    fm, params = _tiny_feature_map()
+    cache = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                  shuffle=True, seed=3, device_shuffle=True)
+    o1 = np.asarray(cache.epoch_order())
+    o2 = np.asarray(cache.epoch_order())
+    n = cache.num_samples
+    for o in (o1, o2):
+        assert len(o) == cache.num_batches * 16
+        valid = o[o >= 0]
+        assert sorted(valid) == list(range(n))
+    assert not np.array_equal(o1, o2)
+
+
+def test_cached_eval_matches_batch_loop():
+    """The scanned device-cache evaluation path returns the same metrics as
+    the per-batch in-memory loop for identical weights."""
+    from fuxictr_tpu.models import get_model, seed_everything
+    fm, params = _tiny_feature_map()
+    seed_everything(2019)
+    model = get_model("DNN")(fm, model_id="cache_eval", embedding_dim=4,
+                             hidden_units=[8], batch_size=16,
+                             model_root="/tmp/cache_eval")
+    model.init_params()
+    mem = RankDataLoader(fm, stage="test", test_data=params["train_data"],
+                         batch_size=16, shuffle=False, streaming=False,
+                         data_format="parquet").make_iterator()
+    ref = model.evaluate(mem, metrics=["AUC", "logloss"])
+    cache = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                  shuffle=False)
+    got = model.evaluate(cache, metrics=["AUC", "logloss"])
+    assert abs(ref["AUC"] - got["AUC"]) < 1e-6
+    assert abs(ref["logloss"] - got["logloss"]) < 1e-6
+
+
 def test_cache_on_mesh_cpu():
     """Replicated cache blocks + data-sharded index batches compile and run
     under a multi-device CPU mesh."""
