@@ -56,8 +56,10 @@ def phase_build():
                       "parts": out}), flush=True)
 
 
-def phase_train(epochs=1, batch_size=2048, steps_per_call=8,
-                compute_dtype="bfloat16"):
+def phase_train(epochs=1, batch_size=2048, steps_per_call=None,
+                compute_dtype="bfloat16", loader="device"):
+    if steps_per_call is None:
+        steps_per_call = 32 if loader == "device" else 8
     import numpy as np
 
     from fuxictr_tpu.config import set_logger
@@ -68,8 +70,9 @@ def phase_train(epochs=1, batch_size=2048, steps_per_call=8,
 
     params = dict(PARAMS)
     params.update(
-        model="DIN", batch_size=batch_size, shuffle=True, streaming=True,
-        data_format="parquet",
+        model="DIN", batch_size=batch_size, shuffle=True,
+        streaming=loader == "streaming",
+        device_cache=loader == "device", data_format="parquet",
         train_data=f"{DATA_ROOT}/{DATASET_ID}/train/",
         valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
         test_data=f"{DATA_ROOT}/{DATASET_ID}/test/",
@@ -101,11 +104,16 @@ def phase_train(epochs=1, batch_size=2048, steps_per_call=8,
           flush=True)
 
     for split in ("valid", "test"):
-        gen = RankDataLoader(
-            fm, stage="test",
-            test_data=f"{DATA_ROOT}/{DATASET_ID}/{split}/",
-            batch_size=batch_size, data_format="parquet",
-            streaming=True, shuffle=False).make_iterator()
+        if split == "valid":
+            gen = valid_gen     # reuse the already-staged loader
+        else:
+            gen = RankDataLoader(
+                fm, stage="test",
+                test_data=f"{DATA_ROOT}/{DATASET_ID}/{split}/",
+                batch_size=batch_size, data_format="parquet",
+                streaming=loader == "streaming",
+                device_cache=loader == "device",
+                shuffle=False).make_iterator()
         logs = model.evaluate(gen)
         import glob
 
@@ -133,8 +141,11 @@ if __name__ == "__main__":
                     choices=["build", "train", "all"])
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--loader", default="device",
+                    choices=["streaming", "memory", "device"])
     args = ap.parse_args()
     if args.phase in ("build", "all"):
         phase_build()
     if args.phase in ("train", "all"):
-        phase_train(epochs=args.epochs, batch_size=args.batch_size)
+        phase_train(epochs=args.epochs, batch_size=args.batch_size,
+                    loader=args.loader)
