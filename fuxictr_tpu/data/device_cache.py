@@ -40,6 +40,30 @@ LABELS_KEY = "__labels__"      # host-side, for evaluate() only
 GROUP_KEY = "__group__"        # host-side group_id, for grouped metrics
 
 
+_ORDER_JIT = None
+
+
+def _device_order(key, n, n_valid, padded, shuffle):
+    """Row order for ``n`` local rows built ON DEVICE: permutation (or
+    arange), invalid rows (>= n_valid) and tail padding marked -1. One
+    module-level jit with static shape args so epochs and chunks reuse the
+    compiled executable instead of re-tracing a fresh closure per epoch."""
+    global _ORDER_JIT
+    if _ORDER_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def impl(key, n, n_valid, padded, shuffle):
+            perm = (jax.random.permutation(key, n) if shuffle
+                    else jnp.arange(n))
+            perm = jnp.where(perm < n_valid, perm, -1).astype(jnp.int32)
+            return jnp.concatenate(
+                [perm, jnp.full((padded - n,), -1, jnp.int32)])
+
+        _ORDER_JIT = jax.jit(impl, static_argnums=(1, 2, 3, 4))
+    return _ORDER_JIT(key, n, n_valid, padded, shuffle)
+
+
 def cache_layout(feature_map):
     """Static column layout: name -> (block, offset, width, kind).
 
@@ -119,7 +143,8 @@ class DeviceCacheDataLoader:
 
     def __init__(self, feature_map, data_path, split="train", batch_size=32,
                  shuffle=False, seed=2019, host_id=0, num_hosts=1,
-                 mesh=None, device_shuffle=True, **kwargs):
+                 mesh=None, device_shuffle=True, hbm_limit_gb=None,
+                 **kwargs):
         import jax
 
         self.feature_map = feature_map
@@ -187,77 +212,149 @@ class DeviceCacheDataLoader:
         gid = getattr(feature_map, "group_id", None)
         if gid is not None and gid in layout:
             self.host_group = block_int[:, layout[gid][1]].copy()
-        logging.info(
-            "Device cache: %d rows staged (%.2f GB int + %.2f GB float)",
-            self._n_valid, block_int.nbytes / 2 ** 30,
-            block_float.nbytes / 2 ** 30)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            placement = NamedSharding(mesh, P())
-            self._dev_int = jax.device_put(block_int, placement)
-            self._dev_float = jax.device_put(block_float, placement)
+        # chunking: if the packed split exceeds the HBM budget, keep the
+        # host blocks and rotate batch-aligned row super-chunks through
+        # HBM per epoch (double-buffered staging; see epoch_chunks)
+        bytes_per_row = (block_int.dtype.itemsize * max(wi, 0)
+                         + block_float.dtype.itemsize * max(wf, 0))
+        self._chunk_bounds = [(0, self._n_rows)]
+        if hbm_limit_gb:
+            rpc = int(float(hbm_limit_gb) * 2 ** 30 // max(bytes_per_row, 1))
+            rpc = max(rpc // batch_size * batch_size, batch_size)
+            if rpc < self._n_rows:
+                if mesh is not None:
+                    raise ValueError(
+                        "hbm_limit_gb chunking is single-device only "
+                        "(mesh caches must be resident)")
+                self._chunk_bounds = [
+                    (lo, min(lo + rpc, self._n_rows))
+                    for lo in range(0, self._n_rows, rpc)]
+        self.chunked = len(self._chunk_bounds) > 1
+
+        if self.chunked:
+            self._host_int, self._host_float = block_int, block_float
+            self._dev_int = self._dev_float = None
+            logging.info(
+                "Device cache (chunked): %d rows in %d HBM chunks of "
+                "%.2f GB (%.2f GB total packed)", self._n_valid,
+                len(self._chunk_bounds),
+                self._chunk_bounds[0][1] * bytes_per_row / 2 ** 30,
+                (block_int.nbytes + block_float.nbytes) / 2 ** 30)
         else:
-            self._dev_int = jax.device_put(block_int)
-            self._dev_float = jax.device_put(block_float)
-        jax.block_until_ready((self._dev_int, self._dev_float))
-        self.num_batches = int(np.ceil(self._n_rows / batch_size))
+            logging.info(
+                "Device cache: %d rows staged (%.2f GB int + %.2f GB float)",
+                self._n_valid, block_int.nbytes / 2 ** 30,
+                block_float.nbytes / 2 ** 30)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                placement = NamedSharding(mesh, P())
+                self._dev_int = jax.device_put(block_int, placement)
+                self._dev_float = jax.device_put(block_float, placement)
+            else:
+                self._dev_int = jax.device_put(block_int)
+                self._dev_float = jax.device_put(block_float)
+            jax.block_until_ready((self._dev_int, self._dev_float))
+        self.num_batches = sum(
+            int(np.ceil((hi - lo) / batch_size))
+            for lo, hi in self._chunk_bounds)
 
     def __len__(self):
         return self.num_batches
 
     def cache_refs(self):
         """The device-resident packed blocks, keyed as batch entries."""
+        if self.chunked:
+            raise ValueError(
+                "chunked device cache has no resident blocks; iterate "
+                "epoch_chunks()/eval_chunks()")
         return {CACHE_INT_KEY: self._dev_int,
                 CACHE_FLOAT_KEY: self._dev_float}
 
-    def _padded_order(self, order):
-        """-1-mark invalid rows and pad to num_batches*batch_size — the
-        same stream ``__iter__`` yields, as one flat array."""
-        order = np.where(order < self._n_valid, order, -1).astype(np.int32)
-        pad = self.num_batches * self.batch_size - len(order)
-        if pad:
-            order = np.concatenate([order, np.full(pad, -1, np.int32)])
-        return order
+    def _stage_chunk(self, lo, hi):
+        """Async-dispatch one chunk's rows to HBM (contiguous row slices of
+        the packed host blocks — one wide transfer per block)."""
+        import jax
+        if not self.chunked:
+            return self.cache_refs()
+        return {CACHE_INT_KEY: jax.device_put(self._host_int[lo:hi]),
+                CACHE_FLOAT_KEY: jax.device_put(self._host_float[lo:hi])}
+
+    def _chunk_order(self, lo, hi, epoch, chunk_id, shuffle):
+        """Device order over chunk-LOCAL rows, -1-padded to a batch
+        multiple."""
+        import jax
+        n = hi - lo
+        nv = int(np.clip(self._n_valid - lo, 0, n))
+        padded = int(np.ceil(n / self.batch_size)) * self.batch_size
+        if shuffle and not self.device_shuffle:
+            order = np.arange(n, dtype=np.int32)
+            np.random.default_rng(
+                self.seed + epoch).shuffle(order)
+            order = np.where(order < nv, order, -1).astype(np.int32)
+            if padded > n:
+                order = np.concatenate(
+                    [order, np.full(padded - n, -1, np.int32)])
+            return jax.device_put(order)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + epoch), chunk_id)
+        return _device_order(key, n, nv, padded, bool(shuffle))
+
+    def epoch_chunks(self):
+        """One training epoch as (cache_refs, device_order, num_batches)
+        chunks. Single-chunk loaders yield the resident blocks; chunked
+        loaders rotate super-chunks through HBM, dispatching chunk i+1's
+        staging before chunk i trains (the transfer overlaps compute).
+        Chunk visit order is shuffled per epoch; rows shuffle within a
+        chunk — the same shuffle granularity as the reference's
+        block-streaming loader, at super-chunk scale."""
+        epoch = self._epoch
+        if self.shuffle:
+            self._epoch += 1
+        ids = np.arange(len(self._chunk_bounds))
+        if self.shuffle and len(ids) > 1:
+            np.random.default_rng(self.seed + 7919 * (epoch + 1)).shuffle(ids)
+        nxt = self._stage_chunk(*self._chunk_bounds[ids[0]])
+        for i, ci in enumerate(ids):
+            cache = nxt
+            if i + 1 < len(ids):
+                nxt = self._stage_chunk(*self._chunk_bounds[ids[i + 1]])
+            lo, hi = self._chunk_bounds[ci]
+            order = self._chunk_order(lo, hi, epoch, int(ci), self.shuffle)
+            yield cache, order, int(np.ceil((hi - lo) / self.batch_size)), lo
+            del cache
+
+    def eval_chunks(self):
+        """Natural-order chunks for evaluation: (cache_refs, num_batches,
+        local_valid_rows, base_row). Does not consume the shuffle rng."""
+        nxt = self._stage_chunk(*self._chunk_bounds[0])
+        for i, (lo, hi) in enumerate(self._chunk_bounds):
+            cache = nxt
+            if i + 1 < len(self._chunk_bounds):
+                nxt = self._stage_chunk(*self._chunk_bounds[i + 1])
+            nv = int(np.clip(self._n_valid - lo, 0, hi - lo))
+            yield (cache, int(np.ceil((hi - lo) / self.batch_size)), nv, lo)
+            del cache
 
     def epoch_order(self):
-        """One training epoch's row order, padded with -1, as a DEVICE
-        array. Entire-epoch execution slices [B] windows on device so
-        per-step host->device traffic drops to two scalars.
-
-        Two modes: ``device_shuffle=True`` (default) builds the permutation
-        ON DEVICE (jax threefry, keyed seed+epoch) — zero bytes cross the
-        wire per epoch, which matters on tunneled backends where any large
-        transfer can stall. ``device_shuffle=False`` reproduces
-        ``__iter__``'s exact numpy stream (used by the loader-parity
-        tests) at the cost of one order upload per epoch."""
-        import jax
-        import jax.numpy as jnp
-
-        padded = self.num_batches * self.batch_size
-        if self.device_shuffle:
-            n, n_valid = self._n_rows, self._n_valid
-            shuffle = self.shuffle
-
-            @jax.jit
-            def make_order(key):
-                perm = (jax.random.permutation(key, n) if shuffle
-                        else jnp.arange(n))
-                perm = jnp.where(perm < n_valid, perm, -1).astype(jnp.int32)
-                return jnp.concatenate(
-                    [perm, jnp.full((padded - n,), -1, jnp.int32)])
-
-            key = jax.random.PRNGKey(self.seed + self._epoch)
-            if self.shuffle:
-                self._epoch += 1
-            return make_order(key)
-        order = np.arange(self._n_rows, dtype=np.int32)
+        """One (single-chunk) training epoch's row order, padded with -1,
+        as a DEVICE array. ``device_shuffle=True`` (default) builds the
+        permutation ON DEVICE (jax threefry, keyed seed+epoch) — zero
+        bytes cross the wire per epoch, which matters on tunneled backends
+        where any large transfer can stall. ``device_shuffle=False``
+        reproduces ``__iter__``'s exact numpy stream (loader-parity tests)
+        at the cost of one order upload per epoch."""
+        epoch = self._epoch
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
-            rng.shuffle(order)
             self._epoch += 1
-        return jax.device_put(self._padded_order(order))
+        lo, hi = self._chunk_bounds[0]
+        return self._chunk_order(lo, hi, epoch, 0, self.shuffle)
 
     def __iter__(self):
+        if self.chunked:
+            raise ValueError(
+                "chunked device cache is driven via epoch_chunks()/"
+                "eval_chunks() (fit/evaluate use them automatically); "
+                "per-batch iteration would re-stage HBM per batch")
         n = self._n_rows
         order = np.arange(n, dtype=np.int32)
         if self.shuffle:

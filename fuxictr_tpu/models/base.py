@@ -446,52 +446,51 @@ class RankModel:
         if self._jit_cached_epoch is None:
             self._jit_cached_epoch = self._make_cached_epoch_step(
                 loader.batch_size)
-        cache = loader.cache_refs()
-        t_order = time.perf_counter()
-        order_dev = loader.epoch_order()
-        jax.block_until_ready(order_dev)
-        t_order = time.perf_counter() - t_order
-        if t_order > 5.0:
-            logging.info("epoch order built in %.1fs (one-time compile)",
-                         t_order)
-        num_batches = loader.num_batches
         B = loader.batch_size
         pending_losses = []
         pending_counts = []
         window = {"t0": time.perf_counter()}
-        done = 0
         trace_calls = int(os.environ.get("FUXICTR_CALL_TRACE", 0) or 0)
         call_no = 0
-        while done < num_batches and not self._stop_training:
-            to_boundary = self._eval_steps - (
-                self._total_steps % self._eval_steps)
-            chunk = int(min(k, num_batches - done, to_boundary))
-            self._rng, call_rng = jax.random.split(self._rng)
-            t_call = time.perf_counter() if call_no < trace_calls else None
-            self.state, loss, count = self._jit_cached_epoch(
-                self.state, cache, order_dev,
-                jnp.asarray(done * B, jnp.int32), call_rng, chunk)
-            if t_call is not None:
-                # loss fetch = true barrier on the remote backend
-                logging.info("call %d (chunk=%d): %.3fs loss=%.5f", call_no,
-                             chunk, time.perf_counter() - t_call,
-                             float(np.asarray(loss)))
-            call_no += 1
-            pending_losses.append(loss)
-            pending_counts.append(count)
-            self._total_steps += chunk
-            done += chunk
-            self._batch_index = done - 1
-            if self._total_steps % self._eval_steps == 0:
-                train_loss = float(np.mean(jax.device_get(pending_losses)))
-                examples = float(np.sum(jax.device_get(pending_counts)))
-                pending_losses = []
-                pending_counts = []
-                dt = max(time.perf_counter() - window["t0"], 1e-9)
-                logging.info("Train loss: %.6f (%.0f examples/s)",
-                             train_loss, examples / dt)
-                self.eval_step()
-                window["t0"] = time.perf_counter()
+        batches_done = 0
+        for cache, order_dev, num_batches, _base in loader.epoch_chunks():
+            done = 0
+            while done < num_batches and not self._stop_training:
+                to_boundary = self._eval_steps - (
+                    self._total_steps % self._eval_steps)
+                chunk = int(min(k, num_batches - done, to_boundary))
+                self._rng, call_rng = jax.random.split(self._rng)
+                t_call = (time.perf_counter() if call_no < trace_calls
+                          else None)
+                self.state, loss, count = self._jit_cached_epoch(
+                    self.state, cache, order_dev,
+                    jnp.asarray(done * B, jnp.int32), call_rng, chunk)
+                if t_call is not None:
+                    # loss fetch = true barrier on the remote backend
+                    logging.info("call %d (chunk=%d): %.3fs loss=%.5f",
+                                 call_no, chunk,
+                                 time.perf_counter() - t_call,
+                                 float(np.asarray(loss)))
+                call_no += 1
+                pending_losses.append(loss)
+                pending_counts.append(count)
+                self._total_steps += chunk
+                done += chunk
+                self._batch_index = batches_done + done - 1
+                if self._total_steps % self._eval_steps == 0:
+                    train_loss = float(
+                        np.mean(jax.device_get(pending_losses)))
+                    examples = float(np.sum(jax.device_get(pending_counts)))
+                    pending_losses = []
+                    pending_counts = []
+                    dt = max(time.perf_counter() - window["t0"], 1e-9)
+                    logging.info("Train loss: %.6f (%.0f examples/s)",
+                                 train_loss, examples / dt)
+                    self.eval_step()
+                    window["t0"] = time.perf_counter()
+            batches_done += num_batches
+            if self._stop_training:
+                break
 
     def _train_step_body(self):
         """Un-jitted single train step (shared by train_step/multi_step)."""
@@ -634,25 +633,28 @@ class RankModel:
     def _cached_predictions(self, loader, chunk_size=32):
         """All predictions for a device-cache loader in natural row order
         (valid rows only), fetched chunk-wise. Row indices are derived
-        on-device from a scalar offset — no index arrays cross the wire."""
+        on-device from a scalar offset — no index arrays cross the wire.
+        Chunked (HBM-limited) loaders rotate super-chunks through the
+        device with staging overlapped."""
         if self._jit_cached_predict is None:
             self._jit_cached_predict = self._make_cached_predict(
                 loader.batch_size)
-        cache = loader.cache_refs()
         B = loader.batch_size
-        num_batches = loader.num_batches
-        n_valid = loader._n_valid
+        rows_parts = []
         parts = []
-        done = 0
-        while done < num_batches:
-            chunk = int(min(chunk_size, num_batches - done))
-            ys = self._jit_cached_predict(
-                self.state, cache, jnp.asarray(n_valid, jnp.int32),
-                jnp.asarray(done * B, jnp.int32), chunk)
-            parts.append(np.asarray(ys).reshape(chunk * B, -1))
-            done += chunk
-        y_pred = np.concatenate(parts)[:n_valid]
-        return y_pred, np.arange(n_valid)
+        for cache, num_batches, n_valid, base_row in loader.eval_chunks():
+            chunk_parts = []
+            done = 0
+            while done < num_batches:
+                chunk = int(min(chunk_size, num_batches - done))
+                ys = self._jit_cached_predict(
+                    self.state, cache, jnp.asarray(n_valid, jnp.int32),
+                    jnp.asarray(done * B, jnp.int32), chunk)
+                chunk_parts.append(np.asarray(ys).reshape(chunk * B, -1))
+                done += chunk
+            parts.append(np.concatenate(chunk_parts)[:n_valid])
+            rows_parts.append(base_row + np.arange(n_valid))
+        return np.concatenate(parts), np.concatenate(rows_parts)
 
     # ----------------------------------------------------------------- fit
     def fit(self, data_generator, epochs=1, validation_data=None,
@@ -735,8 +737,8 @@ class RankModel:
     def train_epoch(self, data_generator):
         self._batch_index = 0
         k = int(self.kwargs.get("steps_per_call", 1) or 1)
-        if k > 1 and self.mesh is None and hasattr(data_generator,
-                                                   "epoch_order"):
+        if (self.mesh is None and hasattr(data_generator, "epoch_chunks")
+                and (k > 1 or getattr(data_generator, "chunked", False))):
             # device-cache loader: run the epoch's batches fully on device
             return self._train_epoch_device(data_generator, k)
         if k > 1:

@@ -73,11 +73,13 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
     from fuxictr_tpu.metrics import evaluate_metrics
 
     params = dict(PARAMS)
+    hbm_limit = os.environ.get("CRITEO_HBM_LIMIT_GB")
     params.update(
         model_id=f"{model_name}_{DATASET_ID}",
         model=model_name, batch_size=batch_size, shuffle=True,
         streaming=loader == "streaming",
         device_cache=loader == "device", data_format="parquet",
+        **({"hbm_limit_gb": float(hbm_limit)} if hbm_limit else {}),
         train_data=f"{DATA_ROOT}/{DATASET_ID}/train/",
         valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
         test_data=f"{DATA_ROOT}/{DATASET_ID}/test/",

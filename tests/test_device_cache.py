@@ -169,6 +169,70 @@ def test_cached_eval_matches_batch_loop():
     assert abs(ref["logloss"] - got["logloss"]) < 1e-6
 
 
+def test_chunked_cache_eval_matches_resident():
+    """hbm_limit_gb chunking: rotating super-chunks through the device
+    yields exactly the same evaluation as the fully-resident cache."""
+    from fuxictr_tpu.models import get_model, seed_everything
+    fm, params = _tiny_feature_map()
+    seed_everything(2019)
+    model = get_model("DNN")(fm, model_id="chunk_eval", embedding_dim=4,
+                             hidden_units=[8], batch_size=16,
+                             model_root="/tmp/chunk_eval")
+    model.init_params()
+    resident = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                     shuffle=False)
+    chunked = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                    shuffle=False, hbm_limit_gb=3e-6)
+    assert chunked.chunked and len(chunked._chunk_bounds) >= 2
+    assert chunked.num_batches == resident.num_batches
+    ref = model.evaluate(resident, metrics=["AUC", "logloss"])
+    got = model.evaluate(chunked, metrics=["AUC", "logloss"])
+    assert abs(ref["AUC"] - got["AUC"]) < 1e-6
+    assert abs(ref["logloss"] - got["logloss"]) < 1e-6
+
+
+def test_chunked_cache_training_matches_resident(tmp_path):
+    """shuffle=False + batch-aligned chunks => the chunked epoch replays
+    the resident epoch's exact batch sequence; training must agree."""
+    from fuxictr_tpu.models import get_model, seed_everything
+    fm, params = _tiny_feature_map()
+
+    def train(loader_kwargs, root):
+        seed_everything(2019)
+        model = get_model("DNN")(fm, model_id="chunk_fit", embedding_dim=4,
+                                 hidden_units=[8], batch_size=16,
+                                 steps_per_call=2, model_root=root)
+        gen = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                    shuffle=False, **loader_kwargs)
+        ev = DeviceCacheDataLoader(fm, params["valid_data"], batch_size=16,
+                                   shuffle=False)
+        model.fit(gen, validation_data=ev, epochs=2)
+        return model.evaluate(ev, metrics=["AUC", "logloss"])
+
+    ref = train({}, str(tmp_path / "res"))
+    got = train({"hbm_limit_gb": 3e-6}, str(tmp_path / "chk"))
+    assert abs(ref["AUC"] - got["AUC"]) < 1e-5
+    assert abs(ref["logloss"] - got["logloss"]) < 1e-5
+
+
+def test_chunked_cache_shuffled_fit(tmp_path):
+    """Chunked cache with per-epoch chunk+row shuffling trains end-to-end
+    (steps_per_call=1 also routes through the device-epoch driver)."""
+    from fuxictr_tpu.models import get_model, seed_everything
+    fm, params = _tiny_feature_map()
+    seed_everything(2019)
+    model = get_model("DNN")(fm, model_id="chunk_shuf", embedding_dim=4,
+                             hidden_units=[8], batch_size=16,
+                             model_root=str(tmp_path))
+    gen = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                shuffle=True, seed=11, hbm_limit_gb=3e-6)
+    ev = DeviceCacheDataLoader(fm, params["valid_data"], batch_size=16,
+                               shuffle=False)
+    model.fit(gen, validation_data=ev, epochs=2)
+    logs = model.evaluate(ev, metrics=["AUC", "logloss"])
+    assert 0.0 < logs["AUC"] <= 1.0 and np.isfinite(logs["logloss"])
+
+
 def test_cache_on_mesh_cpu():
     """Replicated cache blocks + data-sharded index batches compile and run
     under a multi-device CPU mesh."""
