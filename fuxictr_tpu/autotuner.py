@@ -37,6 +37,13 @@ def enumerate_params(config_file, exclude_expid=()):
     else:
         base_config_dir = config_dict.get(
             "base_config", os.path.dirname(config_file))
+        if not os.path.isdir(base_config_dir):
+            # also resolve relative to the tuner yaml's own directory
+            alt = os.path.normpath(os.path.join(
+                os.path.dirname(os.path.abspath(config_file)),
+                base_config_dir))
+            if os.path.isdir(alt):
+                base_config_dir = alt
         model_dict = load_model_config(base_config_dir, experiment_id)
     dataset_id = config_dict.get("dataset_id", model_dict["dataset_id"])
     if "dataset_config" in config_dict:
