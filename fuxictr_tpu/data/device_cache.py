@@ -152,6 +152,7 @@ class DeviceCacheDataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.device_shuffle = device_shuffle
+        self.mesh = mesh
         self._epoch = 0
         layout, wi, wf = cache_layout(feature_map)
         self._layout = layout
@@ -294,10 +295,16 @@ class DeviceCacheDataLoader:
             if padded > n:
                 order = np.concatenate(
                     [order, np.full(padded - n, -1, np.int32)])
-            return jax.device_put(order)
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(self.seed + epoch), chunk_id)
-        return _device_order(key, n, nv, padded, bool(shuffle))
+        else:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed + epoch), chunk_id)
+            order = _device_order(key, n, nv, padded, bool(shuffle))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            order = jax.device_put(order, NamedSharding(self.mesh, P()))
+        elif not hasattr(order, "devices"):
+            order = jax.device_put(order)
+        return order
 
     def epoch_chunks(self):
         """One training epoch as (cache_refs, device_order, num_batches)

@@ -418,6 +418,10 @@ class RankModel:
         data/device_cache.py)."""
         body = self._train_step_body()
         B = int(batch_size)
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_spec = NamedSharding(mesh, P("data"))
 
         @partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
         def run(state, cache, order, start, rng, chunk):
@@ -426,6 +430,11 @@ class RankModel:
             def scan_body(s, inp):
                 j, r = inp
                 idx = jax.lax.dynamic_slice(order, (start + j * B,), (B,))
+                if mesh is not None:
+                    # GSPMD: shard the index window over the data axis so
+                    # the gathered batch (and everything downstream) runs
+                    # data-parallel against the replicated cache blocks
+                    idx = jax.lax.with_sharding_constraint(idx, data_spec)
                 mask = (idx >= 0).astype(jnp.float32)
                 batch = dict(cache)
                 batch[ROWS_KEY] = idx
@@ -737,9 +746,13 @@ class RankModel:
     def train_epoch(self, data_generator):
         self._batch_index = 0
         k = int(self.kwargs.get("steps_per_call", 1) or 1)
-        if (self.mesh is None and hasattr(data_generator, "epoch_chunks")
+        if (hasattr(data_generator, "epoch_chunks")
+                and (self.mesh is None
+                     or getattr(data_generator, "mesh", None) is self.mesh)
                 and (k > 1 or getattr(data_generator, "chunked", False))):
             # device-cache loader: run the epoch's batches fully on device
+            # (single-device, or GSPMD over the mesh when the cache blocks
+            # were replicated onto it)
             return self._train_epoch_device(data_generator, k)
         if k > 1:
             return self._train_epoch_scanned(data_generator, k)

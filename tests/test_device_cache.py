@@ -254,3 +254,42 @@ def test_cache_on_mesh_cpu():
     with mesh:
         model.fit(cache, validation_data=cache, epochs=1)
     assert np.isfinite(float(np.asarray(model.state.step)))
+
+
+def test_device_epoch_on_mesh_cpu(tmp_path):
+    """steps_per_call>1 + device cache + mesh: the on-device epoch runs
+    under GSPMD (index windows sharded over the data axis against the
+    replicated cache blocks) and matches the single-device device-epoch
+    run."""
+    import jax
+    from jax.sharding import Mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device CPU mesh")
+    from fuxictr_tpu.models import get_model, seed_everything
+    fm, params = _tiny_feature_map()
+
+    def train(mesh, root):
+        seed_everything(2019)
+        model = get_model("DNN")(fm, model_id="mesh_epoch", embedding_dim=4,
+                                 hidden_units=[8], batch_size=16,
+                                 steps_per_call=3, model_root=root)
+        model.init_params()
+        if mesh is not None:
+            model.distribute(mesh)
+        gen = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                    shuffle=False, mesh=mesh)
+        ev = DeviceCacheDataLoader(fm, params["valid_data"], batch_size=16,
+                                   shuffle=False, mesh=mesh)
+        if mesh is not None:
+            with mesh:
+                model.fit(gen, validation_data=ev, epochs=2)
+        else:
+            model.fit(gen, validation_data=ev, epochs=2)
+        return model.evaluate(ev, metrics=["AUC", "logloss"])
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1),
+                ("data", "model"))
+    ref = train(None, str(tmp_path / "single"))
+    got = train(mesh, str(tmp_path / "mesh"))
+    assert abs(ref["AUC"] - got["AUC"]) < 1e-4
+    assert abs(ref["logloss"] - got["logloss"]) < 1e-4
