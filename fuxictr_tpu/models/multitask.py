@@ -14,6 +14,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
+from fuxictr_tpu.data.device_cache import (LABELS_KEY, ROWS_KEY,
+                                           expand_cached_batch)
 from fuxictr_tpu.metrics import evaluate_metrics
 from fuxictr_tpu.models.base import RankModel, make_loss_fn
 
@@ -61,10 +63,17 @@ class MultiTaskModel(RankModel):
         acts = [jax.nn.sigmoid if t == "binary_classification"
                 else (lambda x: x) for t in self.tasks]
         labels = self.feature_map.labels
+        compute_dtype = self._compute_dtype
+        feature_map = self.feature_map
 
         @jax.jit
         def predict_step(state, batch):
-            outputs = net.apply({"params": state.params, **state.model_state},
+            batch = expand_cached_batch(feature_map, batch)
+            params = state.params
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_dtype), params)
+            outputs = net.apply({"params": params, **state.model_state},
                                 batch, train=False)
             return jnp.concatenate(
                 [acts[i](outputs[f"{label}_pred"])
@@ -81,9 +90,15 @@ class MultiTaskModel(RankModel):
             y = self._jit_predict_step(self.state, self._place_batch(batch))
             m = batch[SAMPLE_MASK_KEY] > 0
             preds.append(np.asarray(y)[m])
-            trues.append(np.asarray(self.get_labels(batch))[m])
+            if ROWS_KEY in batch:   # device-cache batch: labels ride host-side
+                trues.append(batch[LABELS_KEY][m])
+            else:
+                trues.append(np.asarray(self.get_labels(batch))[m])
             if self.feature_map.group_id is not None:
-                groups.append(np.asarray(batch[self.feature_map.group_id])[m])
+                from fuxictr_tpu.data.device_cache import GROUP_KEY
+                groups.append(np.asarray(
+                    batch[GROUP_KEY] if ROWS_KEY in batch
+                    else batch[self.feature_map.group_id])[m])
         y_pred = np.concatenate(preds).astype(np.float64)
         y_true = np.concatenate(trues).astype(np.float64)
         group_id = np.concatenate(groups) if groups else None

@@ -71,3 +71,46 @@ def test_dynamic_weight_models(name, kw, mtl_fm):
     step = model._make_train_step()
     state, loss = step(model.state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_multitask_device_cache(tmp_path, mtl_fm):
+    """Device-cache loader through the multitask runtime: evaluate matches
+    the in-memory loop exactly, and the on-device epoch path trains."""
+    import pandas as pd
+
+    from fuxictr_tpu.data import RankDataLoader
+    from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+
+    rng = np.random.default_rng(0)
+    n = 50
+    cols = {}
+    for name, spec in mtl_fm.features.items():
+        if spec["type"] == "categorical":
+            cols[name] = rng.integers(1, spec["vocab_size"], n)
+        else:
+            cols[name] = rng.normal(size=n).astype(np.float32)
+    cols["click"] = rng.integers(0, 2, n).astype(np.float32)
+    cols["conversion"] = rng.integers(0, 2, n).astype(np.float32)
+    path = str(tmp_path / "mtl.parquet")
+    pd.DataFrame(cols).to_parquet(path)
+
+    model = MODEL_REGISTRY["MMoE"](
+        mtl_fm, model_id="MMoE_cache", embedding_dim=8, num_tasks=2,
+        task=["binary_classification", "binary_classification"],
+        steps_per_call=2, model_root=str(tmp_path))
+    model.init_params()
+
+    mem = RankDataLoader(mtl_fm, stage="test", test_data=path,
+                         batch_size=16, shuffle=False,
+                         data_format="parquet").make_iterator()
+    cache = DeviceCacheDataLoader(mtl_fm, path, batch_size=16,
+                                  shuffle=False)
+    ref = model.evaluate(mem)
+    got = model.evaluate(cache)
+    for k in ref:
+        assert abs(ref[k] - got[k]) < 1e-6, k
+
+    train = DeviceCacheDataLoader(mtl_fm, path, batch_size=16, shuffle=True)
+    model.fit(train, validation_data=cache, epochs=2)
+    logs = model.evaluate(cache)
+    assert all(np.isfinite(v) for v in logs.values())
