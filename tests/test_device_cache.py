@@ -293,3 +293,31 @@ def test_device_epoch_on_mesh_cpu(tmp_path):
     got = train(mesh, str(tmp_path / "mesh"))
     assert abs(ref["AUC"] - got["AUC"]) < 1e-4
     assert abs(ref["logloss"] - got["logloss"]) < 1e-4
+
+
+def test_device_epoch_eval_steps_boundaries(tmp_path):
+    """Mid-epoch eval_steps: the device-epoch driver splits scan calls at
+    eval boundaries so evaluation happens exactly every eval_steps steps."""
+    from fuxictr_tpu.models import get_model, seed_everything
+    fm, params = _tiny_feature_map()
+    seed_everything(2019)
+    model = get_model("DNN")(fm, model_id="evalsteps", embedding_dim=4,
+                             hidden_units=[8], batch_size=16,
+                             steps_per_call=4, eval_steps=5,
+                             model_root=str(tmp_path))
+    gen = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                shuffle=False)       # 100 rows -> 7 batches
+    ev = DeviceCacheDataLoader(fm, params["valid_data"], batch_size=16,
+                               shuffle=False)
+    eval_points = []
+    orig = model.eval_step
+
+    def spy():
+        eval_points.append(model._total_steps)
+        return orig()
+
+    model.eval_step = spy
+    model.fit(gen, validation_data=ev, epochs=2)
+    # 7 batches/epoch, eval every 5 steps -> evals at total steps 5, 10
+    assert eval_points == [5, 10]
+    assert int(np.asarray(model.state.step)) == 14
