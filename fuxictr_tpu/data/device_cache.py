@@ -178,6 +178,12 @@ class DeviceCacheDataLoader:
 
         lo_row = 0
         hi_row = total
+        if num_hosts > 1 and mesh is not None:
+            raise ValueError(
+                "device cache does not support multi-host meshes: each "
+                "process stages a different local row slice, which cannot "
+                "be declared replicated on a global mesh — use the "
+                "streaming or in-memory loader for multi-host runs")
         if num_hosts > 1:
             per = int(np.ceil(total / num_hosts))
             lo_row = host_id * per
@@ -203,6 +209,18 @@ class DeviceCacheDataLoader:
             dst = slice(s - lo_row, e - lo_row)
             for name, (block, lo, w, kind) in layout.items():
                 v = cols[name][sl]
+                if kind == "meta":
+                    if not np.issubdtype(np.asarray(v).dtype, np.number):
+                        raise ValueError(
+                            f"device cache cannot pack non-numeric meta "
+                            f"column {name!r} (dtype {np.asarray(v).dtype})")
+                    if np.asarray(v).size and (
+                            np.max(v) > np.iinfo(np.int32).max
+                            or np.min(v) < np.iinfo(np.int32).min):
+                        raise ValueError(
+                            f"meta column {name!r} exceeds int32 range; "
+                            f"re-encode it (e.g. factorize group ids) "
+                            f"before using the device cache")
                 target = block_int if block == "int" else block_float
                 target[dst, lo:lo + w] = v.reshape(v.shape[0], w)
         # host-side copies of what evaluate() reads WITHOUT the device:
@@ -223,6 +241,10 @@ class DeviceCacheDataLoader:
             rpc = int(float(hbm_limit_gb) * 2 ** 30 // max(bytes_per_row, 1))
             rpc = max(rpc // batch_size * batch_size, batch_size)
             if rpc < self._n_rows:
+                # epoch_chunks double-buffers (chunk i+1 stages while
+                # chunk i trains): two chunks are resident at peak, so
+                # each chunk gets HALF the budget
+                rpc = max(rpc // 2 // batch_size * batch_size, batch_size)
                 if mesh is not None:
                     raise ValueError(
                         "hbm_limit_gb chunking is single-device only "
@@ -289,8 +311,9 @@ class DeviceCacheDataLoader:
         padded = int(np.ceil(n / self.batch_size)) * self.batch_size
         if shuffle and not self.device_shuffle:
             order = np.arange(n, dtype=np.int32)
-            np.random.default_rng(
-                self.seed + epoch).shuffle(order)
+            seed = (self.seed + epoch if len(self._chunk_bounds) == 1
+                    else [self.seed + epoch, chunk_id])
+            np.random.default_rng(seed).shuffle(order)
             order = np.where(order < nv, order, -1).astype(np.int32)
             if padded > n:
                 order = np.concatenate(

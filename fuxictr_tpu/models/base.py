@@ -171,6 +171,7 @@ class RankModel:
         self._monitor_mode = monitor_mode
         self._early_stop_patience = early_stop_patience
         self._eval_steps = eval_steps
+        self._eval_steps_user = eval_steps
         self._save_best_only = save_best_only
         self._emb_reg = get_regularizer(embedding_regularizer)
         self._net_reg = get_regularizer(net_regularizer)
@@ -481,14 +482,15 @@ class RankModel:
                                  time.perf_counter() - t_call,
                                  float(np.asarray(loss)))
                 call_no += 1
-                pending_losses.append(loss)
+                pending_losses.append((loss, chunk))
                 pending_counts.append(count)
                 self._total_steps += chunk
                 done += chunk
                 self._batch_index = batches_done + done - 1
                 if self._total_steps % self._eval_steps == 0:
-                    train_loss = float(
-                        np.mean(jax.device_get(pending_losses)))
+                    vals = jax.device_get([l for l, _ in pending_losses])
+                    train_loss = float(np.average(
+                        vals, weights=[c for _, c in pending_losses]))
                     examples = float(np.sum(jax.device_get(pending_counts)))
                     pending_losses = []
                     pending_counts = []
@@ -645,10 +647,12 @@ class RankModel:
         on-device from a scalar offset — no index arrays cross the wire.
         Chunked (HBM-limited) loaders rotate super-chunks through the
         device with staging overlapped."""
-        if self._jit_cached_predict is None:
-            self._jit_cached_predict = self._make_cached_predict(
-                loader.batch_size)
+        if not isinstance(self._jit_cached_predict, dict):
+            self._jit_cached_predict = {}
         B = loader.batch_size
+        if B not in self._jit_cached_predict:
+            self._jit_cached_predict[B] = self._make_cached_predict(B)
+        predict_fn = self._jit_cached_predict[B]
         rows_parts = []
         parts = []
         for cache, num_batches, n_valid, base_row in loader.eval_chunks():
@@ -656,7 +660,7 @@ class RankModel:
             done = 0
             while done < num_batches:
                 chunk = int(min(chunk_size, num_batches - done))
-                ys = self._jit_cached_predict(
+                ys = predict_fn(
                     self.state, cache, jnp.asarray(n_valid, jnp.int32),
                     jnp.asarray(done * B, jnp.int32), chunk)
                 chunk_parts.append(np.asarray(ys).reshape(chunk * B, -1))
@@ -689,8 +693,11 @@ class RankModel:
         self._total_steps = 0
         self._batch_index = 0
         self._epoch_index = 0
-        if self._eval_steps is None:
-            self._eval_steps = self._steps_per_epoch
+        # per-fit: a None eval_steps means "once per epoch" of THIS
+        # generator; don't let a previous fit's epoch length stick
+        self._eval_steps = (self._eval_steps_user
+                            if getattr(self, "_eval_steps_user", None)
+                            else self._steps_per_epoch)
         profile_dir = self.kwargs.get("profile_dir")
         if profile_dir:
             # XLA trace of the first training epoch (the reference has no
@@ -746,10 +753,12 @@ class RankModel:
     def train_epoch(self, data_generator):
         self._batch_index = 0
         k = int(self.kwargs.get("steps_per_call", 1) or 1)
+        on_mesh = (self.mesh is not None
+                   and getattr(data_generator, "mesh", None) is self.mesh)
         if (hasattr(data_generator, "epoch_chunks")
-                and (self.mesh is None
-                     or getattr(data_generator, "mesh", None) is self.mesh)
-                and (k > 1 or getattr(data_generator, "chunked", False))):
+                and (self.mesh is None or on_mesh)
+                and (k > 1 or on_mesh
+                     or getattr(data_generator, "chunked", False))):
             # device-cache loader: run the epoch's batches fully on device
             # (single-device, or GSPMD over the mesh when the cache blocks
             # were replicated onto it)
@@ -771,7 +780,7 @@ class RankModel:
                 self.state, self._place_batch(batch), step_rng)
             pending_losses.append(loss)
             window_examples += n_valid if n_valid is not None else \
-                int(np.asarray(batch[SAMPLE_MASK_KEY]).shape[0])
+                int((np.asarray(batch[SAMPLE_MASK_KEY]) > 0).sum())
             if self._total_steps % self._eval_steps == 0:
                 train_loss = float(np.mean(jax.device_get(pending_losses)))
                 pending_losses = []
@@ -937,10 +946,20 @@ class RankModel:
 
     # ---------------------------------------------------------- eval/infer
     def _predictions(self, data_generator):
-        if self._jit_predict_step is None:
-            self._jit_predict_step = self._make_predict_step()
         if self.state is None:
             self.init_params()
+        from fuxictr_tpu.parallel.distributed import is_multiprocess
+        if (not is_multiprocess()
+                and hasattr(data_generator, "cache_refs")
+                and (self.mesh is None
+                     or getattr(data_generator, "mesh", None) is self.mesh)):
+            y_pred, rows = self._cached_predictions(data_generator)
+            mask = np.ones(len(rows), bool)
+            group_id = (data_generator.host_group[rows]
+                        if data_generator.host_group is not None else None)
+            return y_pred, mask, group_id
+        if self._jit_predict_step is None:
+            self._jit_predict_step = self._make_predict_step()
         preds, masks, groups = [], [], []
         for batch in data_generator:
             y = self._jit_predict_step(self.state, self._place_batch(batch))
@@ -965,8 +984,10 @@ class RankModel:
         # all processes compute identical metrics
         from fuxictr_tpu.parallel.distributed import (all_gather_host,
                                                       is_multiprocess)
-        if (self.mesh is None and not is_multiprocess()
-                and hasattr(data_generator, "cache_refs")):
+        if (not is_multiprocess()
+                and hasattr(data_generator, "cache_refs")
+                and (self.mesh is None
+                     or getattr(data_generator, "mesh", None) is self.mesh)):
             # device-cache loader: scanned on-device batches, labels host-side
             y_pred, rows = self._cached_predictions(data_generator)
             y_true = data_generator.host_labels[rows, 0]

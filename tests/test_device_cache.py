@@ -321,3 +321,44 @@ def test_device_epoch_eval_steps_boundaries(tmp_path):
     # 7 batches/epoch, eval every 5 steps -> evals at total steps 5, 10
     assert eval_points == [5, 10]
     assert int(np.asarray(model.state.step)) == 14
+
+
+def test_predict_routes_through_cache(tmp_path):
+    """predict() uses the scanned cache path (chunked loaders would raise
+    in per-batch iteration)."""
+    from fuxictr_tpu.models import get_model, seed_everything
+    fm, params = _tiny_feature_map()
+    seed_everything(2019)
+    model = get_model("DNN")(fm, model_id="cache_pred", embedding_dim=4,
+                             hidden_units=[8], batch_size=16,
+                             model_root=str(tmp_path))
+    model.init_params()
+    chunked = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                    shuffle=False, hbm_limit_gb=3e-6)
+    y_chunked = model.predict(chunked)
+    mem = RankDataLoader(fm, stage="test", test_data=params["train_data"],
+                         batch_size=16, shuffle=False, streaming=False,
+                         data_format="parquet").make_iterator()
+    y_mem = model.predict(mem)
+    np.testing.assert_allclose(y_chunked, y_mem, atol=1e-6)
+
+
+def test_eval_steps_rederived_per_fit(tmp_path):
+    """A second fit() with a different-sized dataset must not inherit the
+    first fit's per-epoch eval_steps default."""
+    from fuxictr_tpu.models import get_model, seed_everything
+    fm, params = _tiny_feature_map()
+    seed_everything(2019)
+    model = get_model("DNN")(fm, model_id="evalsteps2", embedding_dim=4,
+                             hidden_units=[8], batch_size=16,
+                             model_root=str(tmp_path))
+    big = DeviceCacheDataLoader(fm, params["train_data"], batch_size=8,
+                                shuffle=False)    # 13 batches/epoch
+    small = DeviceCacheDataLoader(fm, params["train_data"], batch_size=32,
+                                  shuffle=False)  # 4 batches/epoch
+    ev = DeviceCacheDataLoader(fm, params["valid_data"], batch_size=32,
+                               shuffle=False)
+    model.fit(big, validation_data=ev, epochs=1)
+    assert model._eval_steps == 13
+    model.fit(small, validation_data=ev, epochs=1)
+    assert model._eval_steps == 4
