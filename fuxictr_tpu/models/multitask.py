@@ -58,7 +58,7 @@ class MultiTaskModel(RankModel):
         return total  # 'EQ' weighting: plain sum
 
     # ---------------------------------------------------------- eval/infer
-    def _make_predict_step(self):
+    def _predict_body(self):
         net = self.net
         acts = [jax.nn.sigmoid if t == "binary_classification"
                 else (lambda x: x) for t in self.tasks]
@@ -66,7 +66,6 @@ class MultiTaskModel(RankModel):
         compute_dtype = self._compute_dtype
         feature_map = self.feature_map
 
-        @jax.jit
         def predict_step(state, batch):
             batch = expand_cached_batch(feature_map, batch)
             params = state.params
@@ -76,15 +75,32 @@ class MultiTaskModel(RankModel):
             outputs = net.apply({"params": params, **state.model_state},
                                 batch, train=False)
             return jnp.concatenate(
-                [acts[i](outputs[f"{label}_pred"])
+                [acts[i](outputs[f"{label}_pred"].astype(jnp.float32))
                  for i, label in enumerate(labels)], axis=1)   # [B, T]
 
         return predict_step
 
+    def _make_predict_step(self):
+        return jax.jit(self._predict_body())
+
     def evaluate(self, data_generator, metrics=None):
+        labels = self.feature_map.labels
+        from fuxictr_tpu.parallel.distributed import is_multiprocess
+        if (not is_multiprocess()
+                and hasattr(data_generator, "cache_refs")
+                and (self.mesh is None
+                     or getattr(data_generator, "mesh", None) is self.mesh)):
+            # device-cache loader (incl. chunked): scanned predict path,
+            # labels/groups host-side
+            y_pred, rows = self._cached_predictions(data_generator)
+            y_true = data_generator.host_labels[rows]
+            group_id = (data_generator.host_group[rows]
+                        if data_generator.host_group is not None else None)
+            return self._per_task_metrics(
+                y_true.astype(np.float64), y_pred.astype(np.float64),
+                group_id, metrics)
         if self._jit_predict_step is None:
             self._jit_predict_step = self._make_predict_step()
-        labels = self.feature_map.labels
         preds, trues, groups = [], [], []
         for batch in data_generator:
             y = self._jit_predict_step(self.state, self._place_batch(batch))
@@ -102,9 +118,12 @@ class MultiTaskModel(RankModel):
         y_pred = np.concatenate(preds).astype(np.float64)
         y_true = np.concatenate(trues).astype(np.float64)
         group_id = np.concatenate(groups) if groups else None
+        return self._per_task_metrics(y_true, y_pred, group_id, metrics)
+
+    def _per_task_metrics(self, y_true, y_pred, group_id, metrics=None):
         all_logs = {}
         mean_logs = {}
-        for i, label in enumerate(labels):
+        for i, label in enumerate(self.feature_map.labels):
             logs = evaluate_metrics(y_true[:, i], y_pred[:, i],
                                     metrics or self.validation_metrics,
                                     group_id)

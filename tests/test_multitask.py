@@ -109,6 +109,12 @@ def test_multitask_device_cache(tmp_path, mtl_fm):
     got = model.evaluate(cache)
     for k in ref:
         assert abs(ref[k] - got[k]) < 1e-6, k
+    chunked = DeviceCacheDataLoader(mtl_fm, path, batch_size=16,
+                                    shuffle=False, hbm_limit_gb=1e-6)
+    assert chunked.chunked
+    got2 = model.evaluate(chunked)
+    for k in ref:
+        assert abs(ref[k] - got2[k]) < 1e-6, k
 
     train = DeviceCacheDataLoader(mtl_fm, path, batch_size=16, shuffle=True)
     model.fit(train, validation_data=cache, epochs=2)
