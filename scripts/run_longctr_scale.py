@@ -55,7 +55,8 @@ def main():
         embedding_dim=args.embedding_dim, learning_rate=1e-3,
         net_regularizer=None, embedding_regularizer=None,
         steps_per_call=8, compute_dtype="bfloat16",
-        monitor="AUC", metrics=["AUC", "logloss"],
+        monitor="AUC", metrics=["AUC", "logloss", "gAUC"],
+        group_id="user_feat",
         reduce_lr_on_plateau=True, epochs=args.epochs, verbose=1,
         # retrieval shapes scale with the window
         short_seq_len=min(100, args.max_len), topk=min(args.topk,
@@ -99,6 +100,7 @@ def main():
             "phase": "eval", "split": split, "model": args.model,
             "max_len": args.max_len,
             "AUC": round(float(logs["AUC"]), 6),
+            "gAUC": round(float(logs.get("gAUC", float("nan"))), 6),
             "logloss": round(float(logs["logloss"]), 6),
             "bayes_AUC": round(float(bayes["AUC"]), 6),
             "AUC_gap_to_bayes": round(float(bayes["AUC"] - logs["AUC"]), 6),
