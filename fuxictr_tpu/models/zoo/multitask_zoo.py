@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from fuxictr_tpu.models.multitask import MultiTaskModel
 from fuxictr_tpu.models.registry import register_model
 from fuxictr_tpu.ops.embedding import FeatureEmbedding
-from fuxictr_tpu.ops.mlp import MLP_Block
+from fuxictr_tpu.ops.mlp import MLP_Block, stacked_mlp
 
 
 def _flat(x):
@@ -96,13 +96,15 @@ class _MMoENet(nn.Module):
     def __call__(self, batch, train=False):
         emb = FeatureEmbedding(self.feature_map, self.embedding_dim,
                                name="embedding")(batch, flatten_emb=True)
-        experts = jnp.stack(
-            [MLP_Block(hidden_units=tuple(self.expert_hidden_units),
-                       hidden_activations=self.hidden_activations,
-                       dropout_rates=self.net_dropout,
-                       batch_norm=self.batch_norm,
-                       name=f"expert_{i}")(emb, train=train)
-             for i in range(self.num_experts)], axis=1)       # [B, E, D]
+        # one [E, d_in, d_out]-batched contraction on the MXU; the expert
+        # axis is shardable over 'model' (expert parallelism) — see
+        # ops/mlp.py:stacked_mlp
+        experts = stacked_mlp(
+            self.num_experts, name="experts",
+            hidden_units=tuple(self.expert_hidden_units),
+            hidden_activations=self.hidden_activations,
+            dropout_rates=self.net_dropout,
+            batch_norm=self.batch_norm)(emb, train)           # [B, E, D]
         labels = self.feature_map.labels
         task_inputs = []
         for i in range(len(labels)):
@@ -161,26 +163,32 @@ class _CGCLayer(nn.Module):
     @nn.compact
     def __call__(self, xs, train=False):
         """xs: list of num_tasks+1 inputs (task_0..task_{T-1}, shared)."""
-        T = self.num_tasks
-        specific = [
-            [self._mlp(f"specific_{i}_{j}")(xs[i], train=train)
-             for j in range(self.num_specific_experts)]
-            for i in range(T)]
-        shared = [self._mlp(f"shared_{k}")(xs[-1], train=train)
-                  for k in range(self.num_shared_experts)]
+        T, ns, nsh = (self.num_tasks, self.num_specific_experts,
+                      self.num_shared_experts)
+        # ALL experts of the layer in one stacked pass (ops/mlp.py:
+        # stacked_mlp): stack order = task0 specifics, task1 specifics, ...,
+        # shared; per-expert inputs ride the leading stack axis
+        stack_in = jnp.stack(
+            [xs[i] for i in range(T) for _ in range(ns)]
+            + [xs[-1]] * nsh, axis=0)                        # [S, B, d]
+        out = stacked_mlp(
+            T * ns + nsh, stacked_input=True, name="experts",
+            hidden_units=tuple(self.expert_hidden_units),
+            hidden_activations=self.hidden_activations,
+            dropout_rates=self.net_dropout,
+            batch_norm=self.batch_norm)(stack_in, train)     # [B, S, D]
+        shared = out[:, T * ns:]
         outs = []
         for i in range(T):
-            cand = jnp.stack(specific[i] + shared, axis=1)
+            cand = jnp.concatenate(
+                [out[:, i * ns:(i + 1) * ns], shared], axis=1)
             gate = jax.nn.softmax(self._mlp(
-                f"gate_{i}", out_dim=self.num_specific_experts
-                + self.num_shared_experts)(xs[i], train=train), axis=-1)
+                f"gate_{i}", out_dim=ns + nsh)(xs[i], train=train), axis=-1)
             outs.append(jnp.einsum("be,bed->bd", gate, cand))
         if not self.is_last:
-            cand = jnp.stack(shared, axis=1)
             gate = jax.nn.softmax(self._mlp(
-                f"gate_{T}", out_dim=self.num_shared_experts)(
-                    xs[-1], train=train), axis=-1)
-            outs.append(jnp.einsum("be,bed->bd", gate, cand))
+                f"gate_{T}", out_dim=nsh)(xs[-1], train=train), axis=-1)
+            outs.append(jnp.einsum("be,bed->bd", gate, shared))
         return outs
 
 

@@ -14,6 +14,32 @@ import flax.linen as nn
 from fuxictr_tpu.ops.common import Activation, xavier_normal, zeros_init
 
 
+def stacked_mlp(num_stack, stacked_input=False, name=None, **mlp_kwargs):
+    """``num_stack`` independent :class:`MLP_Block` towers evaluated as ONE
+    batched contraction (``bi,sio->bso``) instead of ``num_stack``
+    sequential small matmuls — the TPU-idiomatic form for expert stacks
+    (MMoE/PLE; cf. the per-expert ModuleList loop in the reference,
+    model_zoo/multitask/MMoE/src/MMoE.py:42-50). Each parameter leaf
+    carries a leading stack axis ([S, d_in, d_out] kernels), which the
+    mesh sharding rule (parallel/mesh.py:param_sharding) row-shards over
+    the ``model`` axis — i.e. true expert parallelism: each shard computes
+    its S/n experts locally and XLA all-gathers the [B, S, D] expert
+    outputs for the gate mix.
+
+    ``stacked_input=False`` broadcasts one [B, d] input to all stack
+    members; ``True`` expects [S, B, d] per-member inputs (PLE CGC).
+    Returns outputs stacked on axis 1: [B, S, ...].
+    """
+    vmapped = nn.vmap(
+        MLP_Block,
+        in_axes=(0 if stacked_input else None, None),
+        out_axes=1,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "dropout": True},
+        axis_size=num_stack)
+    return vmapped(name=name, **mlp_kwargs)
+
+
 class MLP_Block(nn.Module):
     input_dim: int = None  # accepted for config parity; shapes are inferred
     hidden_units: Sequence[int] = ()

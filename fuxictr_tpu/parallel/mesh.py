@@ -86,11 +86,22 @@ def _is_table_leaf(path, leaf):
     return any(str(n).startswith(("table_", "pretrain_")) for n in names)
 
 
+def _is_expert_stack_leaf(path):
+    """Stacked expert leaves (ops/mlp.py:stacked_mlp — leading axis =
+    expert index; MMoE/PLE name their stacks 'experts')."""
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    return any(str(n) == "experts" for n in names)
+
+
 def param_sharding(mesh, path, leaf):
     """Sharding rule: embedding tables row-sharded over 'model' (when rows
-    divide evenly), everything else replicated."""
+    divide evenly); expert stacks sharded over 'model' on the expert axis
+    (expert parallelism); everything else replicated."""
     n_model = mesh.shape["model"]
     if (_is_table_leaf(path, leaf) and leaf.ndim >= 2
+            and leaf.shape[0] % n_model == 0 and n_model > 1):
+        return NamedSharding(mesh, P("model", *(None,) * (leaf.ndim - 1)))
+    if (_is_expert_stack_leaf(path) and leaf.ndim >= 1
             and leaf.shape[0] % n_model == 0 and n_model > 1):
         return NamedSharding(mesh, P("model", *(None,) * (leaf.ndim - 1)))
     return NamedSharding(mesh, P())

@@ -323,9 +323,14 @@ def test_mmoe_forward_parity(tmp_path):
             rows = table[plan["offset"]:plan["offset"]
                          + plan["spec"]["vocab_size"]]
             emb_layers[name].weight.copy_(torch.from_numpy(rows))
+        # stacked experts: [E, d_in, d_out] kernels (ops/mlp.py:stacked_mlp)
+        ek = np.asarray(params["experts"]["Dense_0"]["kernel"])
+        eb = np.asarray(params["experts"]["Dense_0"]["bias"])
         for i in range(3):
-            copy_mlp(ref.mmoe_layer.experts[i].mlp,
-                     params[f"expert_{i}"], ["Dense_0"])
+            lin = [m for m in ref.mmoe_layer.experts[i].mlp
+                   if isinstance(m, torch.nn.Linear)][0]
+            lin.weight.copy_(torch.from_numpy(ek[i].T))
+            lin.bias.copy_(torch.from_numpy(eb[i]))
         for t in range(2):
             copy_mlp(ref.mmoe_layer.gate[t].mlp, params[f"gate_{t}"],
                      ["Dense_0", "Dense_1"])
@@ -1576,12 +1581,21 @@ def test_ple_forward_parity(tmp_path):
             emb_layers[name].weight.copy_(torch.from_numpy(rows))
         for li, cgc in enumerate(ref.cgc_layers):
             p = params[f"cgc_{li}"]
+            # stacked experts (ops/mlp.py:stacked_mlp): order = task0
+            # specifics, task1 specifics, shared; ns=1, nsh=2 here
+            ek = np.asarray(p["experts"]["Dense_0"]["kernel"])
+            eb = np.asarray(p["experts"]["Dense_0"]["bias"])
+
+            def copy_lin(ref_mlp, idx):
+                lin = [m for m in ref_mlp
+                       if isinstance(m, torch.nn.Linear)][0]
+                lin.weight.copy_(torch.from_numpy(ek[idx].T))
+                lin.bias.copy_(torch.from_numpy(eb[idx]))
+
             for t in range(2):
-                copy_mlp(cgc.specific_experts[t][0].mlp,
-                         p[f"specific_{t}_0"], ["Dense_0"])
+                copy_lin(cgc.specific_experts[t][0].mlp, t)
             for k in range(2):
-                copy_mlp(cgc.shared_experts[k].mlp,
-                         p[f"shared_{k}"], ["Dense_0"])
+                copy_lin(cgc.shared_experts[k].mlp, 2 + k)
             for g in range(3):
                 if f"gate_{g}" in p:
                     copy_mlp(cgc.gate[g].mlp, p[f"gate_{g}"],

@@ -185,3 +185,44 @@ def test_longctr_dedup_train_step_distributes():
     np.testing.assert_allclose(
         jax.device_get(s1.params["embedding"]["table_d8"]),
         jax.device_get(s2.params["embedding"]["table_d8"]), atol=1e-5)
+
+
+def test_expert_parallel_mmoe_matches_single_device():
+    """Stacked MMoE experts shard over the 'model' axis (EP) and the
+    sharded step matches single-device numerics."""
+    from fuxictr_tpu.models.zoo.multitask_zoo import MMoE
+    from fuxictr_tpu.parallel.mesh import param_sharding
+
+    def build():
+        fm = make_synthetic_feature_map(num_categorical=6, num_numeric=3,
+                                        vocab_size=512, embedding_dim=8)
+        fm.labels = ["clk", "conv"]
+        return fm, MMoE(fm, model_id="MMoE_mesh", embedding_dim=8,
+                        num_tasks=2, num_experts=8,
+                        task=["binary_classification"] * 2,
+                        expert_hidden_units=(16,), gate_hidden_units=(8,),
+                        tower_hidden_units=(8,), model_root="/tmp/fx_mesh")
+
+    fm, model = build()
+    model.init_params()
+    batch = make_synthetic_batch(fm, batch_size=32, seed=5)
+    rng = jax.random.PRNGKey(11)
+    s1, loss1 = model._make_train_step()(
+        model.state, jax.device_put(batch), rng)
+
+    _, model2 = build()
+    model2.init_params()
+    mesh = make_mesh(n_data=4, n_model=2)
+    model2.distribute(mesh)
+    # the expert stack must actually be sharded on its expert axis
+    ek = model2.state.params["experts"]["Dense_0"]["kernel"]
+    assert ek.shape[0] == 8
+    spec = ek.sharding.spec
+    assert spec[0] == "model", spec
+    s2, loss2 = model2._make_train_step()(
+        model2.state, model2._place_batch(batch), rng)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(
+        jax.device_get(s1.params["experts"]["Dense_0"]["kernel"]),
+        jax.device_get(s2.params["experts"]["Dense_0"]["kernel"]),
+        atol=1e-5)
