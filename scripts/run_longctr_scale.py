@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--embedding-dim", type=int, default=32)
     ap.add_argument("--topk", type=int, default=100)
+    ap.add_argument("--no-user", action="store_true",
+                    help="drop the explicit user_feat id so the HISTORY is "
+                    "the only user representation (the honest long-range "
+                    "test: with a memorizable per-user id + stationary "
+                    "synthetic preferences, a model can bypass the history "
+                    "entirely — measured as identical AUC at max_len 100 "
+                    "vs 1000)")
     args = ap.parse_args()
 
     import numpy as np
@@ -42,8 +49,9 @@ def main():
     from fuxictr_tpu.metrics import evaluate_metrics
     from fuxictr_tpu.models import get_model, seed_everything
 
+    variant = "_nouser" if args.no_user else ""
     params = dict(
-        model_id=f"{args.model}_L{args.max_len}_longctr_syn",
+        model_id=f"{args.model}_L{args.max_len}{variant}_longctr_syn",
         dataset_id="longctr_syn", data_root=RAW + "/",
         model_root="/tmp/ctr_scale/checkpoints/", data_format="parquet",
         data_loader=LongCTRDataLoader,
@@ -56,7 +64,8 @@ def main():
         net_regularizer=None, embedding_regularizer=None,
         steps_per_call=8, compute_dtype="bfloat16",
         monitor="AUC", metrics=["AUC", "logloss", "gAUC"],
-        group_id="user_feat",
+        group_id="user_index" if args.no_user else "user_feat",
+        **({"use_features": ["item_id", "cate_id"]} if args.no_user else {}),
         reduce_lr_on_plateau=True, epochs=args.epochs, verbose=1,
         # retrieval shapes scale with the window
         short_seq_len=min(100, args.max_len), topk=min(args.topk,
