@@ -261,6 +261,10 @@ class RankDataLoader:
             else:
                 loader_cls = (BlockStreamingDataLoader if streaming
                               else InMemoryDataLoader)
+        elif device_cache and hasattr(loader_cls, "_device_cache_cls"):
+            # injected loaders can ship a device-resident twin (e.g.
+            # LongCTRDataLoader -> LongCTRDeviceCacheLoader)
+            loader_cls = loader_cls._device_cache_cls
         train_gen = valid_gen = test_gen = None
         self.stage = stage
         if stage in ("both", "train"):

@@ -135,3 +135,217 @@ class LongCTRDataLoader:
 def _pad_tree(batch, pad):
     return {k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
             for k, v in batch.items()}
+
+
+# ------------------------------------------------------ device-resident
+class LongCTRDeviceCacheLoader:
+    """Device-resident lifelong-sequence epochs: stage the interaction
+    columns, the flat per-user item sequences, AND the item side table in
+    HBM once; the user-history join (keep-last-``max_len`` windowing +
+    item-feature lookup) happens ON DEVICE inside the jitted step.
+
+    TPU-native rationale (SURVEY §5 long-context disposition:
+    "device-resident item side-tables"): the reference joins side tables
+    on the host per batch (longctr_dataloader.py:142-187) — at B=1024,
+    L=1000 that is ~1M gathered ids per step on the CPU, which bounds
+    throughput and loses the device-cache epoch's zero-wire property.
+    Here the per-call wire traffic is the same 2 scalars + rng key as the
+    flat device cache (data/device_cache.py), and the join is two device
+    gathers (window positions into the flat sequence, then item columns).
+
+    Semantics match ``LongCTRDataLoader(dedup_items=False)`` exactly
+    (valid prefix = seq[:seq_len], keep-last-L, pre-pad; mask = id > 0).
+    Host-side dedup is a HOST optimization and does not apply here; at
+    the small/mid vocabs where this loader shines the plain gather is
+    already in the cheap regime (BENCHMARKS.md gather cost laws).
+    """
+
+    num_blocks = 1
+    chunked = False
+    host_group = None
+
+    def __init__(self, feature_map, data_path, split="train", batch_size=32,
+                 shuffle=False, seed=2019, user_info=None, item_info=None,
+                 max_len=50, mesh=None, device_shuffle=True, **kwargs):
+        import jax
+
+        if not str(data_path).endswith(".parquet"):
+            data_path = str(data_path) + ".parquet"
+        self.feature_map = feature_map
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.device_shuffle = device_shuffle
+        self.mesh = mesh
+        self.max_len = int(max_len)
+        self._epoch = 0
+
+        df = pd.read_parquet(data_path)
+        n = len(df)
+        self.num_samples = n
+        self.num_batches = int(np.ceil(n / batch_size))
+        self._n_rows = self.num_batches * batch_size
+        self._n_valid = n
+        self._chunk_bounds = [(0, self._n_rows)]
+
+        # ---- int block: user_index, item_index, seq_len, user features
+        user_feats = [f for f, spec in feature_map.features.items()
+                      if spec.get("source") != "item" and f in df.columns]
+        self._int_cols = ["user_index", "item_index", "seq_len"] + user_feats
+        self._user_feats = user_feats
+        block_int = np.zeros((self._n_rows, len(self._int_cols)), np.int32)
+        for j, c in enumerate(self._int_cols):
+            block_int[:n, j] = df[c].to_numpy().astype(np.int32)
+        # ---- float block: labels
+        labels = list(feature_map.labels)
+        self._labels = labels
+        block_float = np.zeros((self._n_rows, len(labels)), np.float32)
+        for j, c in enumerate(labels):
+            block_float[:n, j] = df[c].to_numpy().astype(np.float32)
+        self.host_labels = block_float.copy()
+
+        gid = getattr(feature_map, "group_id", None)
+        if gid in self._int_cols:
+            self.host_group = block_int[:, self._int_cols.index(gid)].copy()
+
+        # ---- flat user sequences + offsets
+        user_df = pd.read_parquet(user_info)
+        seqs = [np.asarray(s, dtype=np.int32)
+                for s in user_df["full_item_seq"]]
+        off = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=off[1:])
+        flat = (np.concatenate(seqs) if seqs
+                else np.zeros(0, np.int32)).astype(np.int32)
+
+        # ---- item side table (dense by item_index via lut if needed)
+        item_df = pd.read_parquet(item_info).set_index("item_index")
+        idx_map = item_df.index.to_numpy()
+        item_cols = {c: np.asarray(item_df[c].to_numpy())
+                     for c in item_df.columns
+                     if c in feature_map.features}
+        self._item_col_names = list(item_cols)
+        lut = None
+        if not np.array_equal(idx_map, np.arange(len(idx_map))):
+            lut = np.zeros(int(idx_map.max()) + 1, np.int32)
+            lut[idx_map] = np.arange(len(idx_map), dtype=np.int32)
+
+        placement = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            placement = NamedSharding(mesh, P())
+
+        def put(x):
+            return (jax.device_put(x, placement) if placement is not None
+                    else jax.device_put(x))
+
+        from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
+                                                   CACHE_INT_KEY)
+        self._refs = {CACHE_INT_KEY: put(block_int),
+                      CACHE_FLOAT_KEY: put(block_float),
+                      "__cache_useq__": put(flat),
+                      "__cache_uoff__": put(off.astype(np.int32))}
+        if lut is not None:
+            self._refs["__cache_ilut__"] = put(lut)
+        for c, arr in item_cols.items():
+            self._refs[f"__cache_item_{c}__"] = put(arr.astype(np.int32))
+        jax.block_until_ready(self._refs)
+        logging.info(
+            "LongCTR device cache: %d rows + %d seq events + %d-item side "
+            "table staged (max_len=%d)", n, len(flat),
+            len(idx_map), self.max_len)
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self):
+        """Per-batch fallback (steps_per_call=1): index batches over the
+        resident refs, same contract as DeviceCacheDataLoader.__iter__."""
+        from fuxictr_tpu.data.device_cache import ROWS_KEY
+        order = np.arange(self._n_rows, dtype=np.int32)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        B = self.batch_size
+        for start in range(0, self._n_rows, B):
+            idx = order[start:start + B]
+            mask = (idx < self._n_valid).astype(np.float32)
+            idx = np.where(mask > 0, idx, -1).astype(np.int32)
+            batch = dict(self._refs)
+            batch[ROWS_KEY] = idx
+            batch[SAMPLE_MASK_KEY] = mask
+            yield batch
+
+    # --- device-cache protocol (reuses DeviceCacheDataLoader's drivers)
+    def cache_refs(self):
+        return dict(self._refs)
+
+    _stage_chunk = lambda self, lo, hi: self.cache_refs()
+
+    def _chunk_order(self, lo, hi, epoch, chunk_id, shuffle):
+        from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+        return DeviceCacheDataLoader._chunk_order(
+            self, lo, hi, epoch, chunk_id, shuffle)
+
+    def epoch_chunks(self):
+        from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+        return DeviceCacheDataLoader.epoch_chunks(self)
+
+    def eval_chunks(self):
+        from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+        return DeviceCacheDataLoader.eval_chunks(self)
+
+    def epoch_order(self):
+        from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+        return DeviceCacheDataLoader.epoch_order(self)
+
+    @property
+    def cache_expander(self):
+        """In-jit: row indices -> full LongCTR batch (device join)."""
+        import jax.numpy as jnp
+
+        from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
+        from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
+                                                   CACHE_INT_KEY, ROWS_KEY)
+        L = self.max_len
+        int_cols = list(self._int_cols)
+        labels = list(self._labels)
+        item_names = list(self._item_col_names)
+        u_slot = int_cols.index("user_index")
+        t_slot = int_cols.index("item_index")
+        s_slot = int_cols.index("seq_len")
+
+        def expand(batch):
+            if ROWS_KEY not in batch or "__cache_useq__" not in batch:
+                return batch
+            idx = jnp.maximum(batch[ROWS_KEY], 0)
+            ints = batch[CACHE_INT_KEY][idx]                  # [B, k]
+            out = {c: ints[:, j] for j, c in enumerate(int_cols)
+                   if c not in ("user_index", "item_index", "seq_len")}
+            floats = batch[CACHE_FLOAT_KEY][idx]
+            for j, lb in enumerate(labels):
+                out[lb] = floats[:, j]
+            u = ints[:, u_slot]
+            tgt = ints[:, t_slot]
+            off = batch["__cache_uoff__"]
+            start = off[u]
+            # valid prefix = seq[:seq_len] (clamped to the stored length);
+            # window = the LAST L of that prefix, pre-padded
+            slen = jnp.minimum(ints[:, s_slot], off[u + 1] - start)
+            pos = (start + slen)[:, None] - L + jnp.arange(L)[None]
+            valid = pos >= start[:, None]
+            seqs = jnp.where(
+                valid, batch["__cache_useq__"][jnp.maximum(pos, 0)], 0)
+            out[SEQ_MASK_KEY] = (seqs > 0).astype(jnp.float32)
+            flat = jnp.concatenate([seqs, tgt[:, None]], axis=1).reshape(-1)
+            rows = (batch["__cache_ilut__"][flat]
+                    if "__cache_ilut__" in batch else flat)
+            out[ITEMS_KEY] = {c: batch[f"__cache_item_{c}__"][rows]
+                              for c in item_names}
+            out[SAMPLE_MASK_KEY] = batch[SAMPLE_MASK_KEY]
+            return out
+
+        return expand
+
+
+LongCTRDataLoader._device_cache_cls = LongCTRDeviceCacheLoader

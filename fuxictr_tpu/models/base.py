@@ -199,6 +199,25 @@ class RankModel:
         self._jit_multi_step = None
         self._jit_cached_epoch = None
         self._jit_cached_predict = None
+        # in-jit batch expansion for device-cache loaders; loaders with a
+        # custom on-device layout (e.g. LongCTRDeviceCacheLoader) install
+        # their own expander via _install_cache_expander
+        self._expand_batch = partial(expand_cached_batch, self.feature_map)
+
+    def _install_cache_expander(self, loader):
+        """Adopt a loader's in-jit cache expander (device-resident custom
+        layouts). Resets compiled steps if the expansion changes."""
+        fn = getattr(loader, "cache_expander", None)
+        if fn is None or fn is self._expand_batch \
+                or getattr(self, "_expander_src", None) is type(loader):
+            return
+        self._expander_src = type(loader)
+        self._expand_batch = fn
+        self._jit_train_step = None
+        self._jit_predict_step = None
+        self._jit_multi_step = None
+        self._jit_cached_epoch = None
+        self._jit_cached_predict = None
 
     # --------------------------------------------------------------- setup
     def compile(self, optimizer=None, loss=None, lr=None):
@@ -513,7 +532,7 @@ class RankModel:
         def train_step(state, batch, rng):
             # device-cache batches carry only row indices; expand to the
             # standard feature dict by an on-device packed-row gather
-            batch = expand_cached_batch(self.feature_map, batch)
+            batch = self._expand_batch(batch)
             y_true = self.get_labels(batch)
             weights = batch[SAMPLE_MASK_KEY]
 
@@ -605,7 +624,7 @@ class RankModel:
         compute_dtype = self._compute_dtype
 
         def predict_step(state, batch):
-            batch = expand_cached_batch(self.feature_map, batch)
+            batch = self._expand_batch(batch)
             params = state.params
             if compute_dtype is not None:
                 params = jax.tree_util.tree_map(
@@ -673,6 +692,7 @@ class RankModel:
     def fit(self, data_generator, epochs=1, validation_data=None,
             max_gradient_norm=10.0, **kwargs):
         self.valid_gen = validation_data
+        self._install_cache_expander(data_generator)
         if self.state is None:
             self.init_params()
         # never reset opt_state/step here: a restored checkpoint must resume
@@ -946,6 +966,7 @@ class RankModel:
 
     # ---------------------------------------------------------- eval/infer
     def _predictions(self, data_generator):
+        self._install_cache_expander(data_generator)
         if self.state is None:
             self.init_params()
         from fuxictr_tpu.parallel.distributed import is_multiprocess
@@ -976,6 +997,7 @@ class RankModel:
 
     def evaluate(self, data_generator, metrics=None):
         y_pred_parts, y_true_parts, masks, groups = [], [], [], []
+        self._install_cache_expander(data_generator)
         if self._jit_predict_step is None:
             self._jit_predict_step = self._make_predict_step()
         # multi-host: every process holds a local shard of each batch; the

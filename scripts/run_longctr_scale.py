@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--embedding-dim", type=int, default=32)
     ap.add_argument("--topk", type=int, default=100)
+    ap.add_argument("--loader", default="host", choices=["host", "device"],
+                    help="host = side-table join per batch on the host "
+                    "(reference semantics); device = stage sequences + item "
+                    "table in HBM, join on device (LongCTRDeviceCacheLoader)")
     ap.add_argument("--no-user", action="store_true",
                     help="drop the explicit user_feat id so the HISTORY is "
                     "the only user representation (the honest long-range "
@@ -49,7 +53,8 @@ def main():
     from fuxictr_tpu.metrics import evaluate_metrics
     from fuxictr_tpu.models import get_model, seed_everything
 
-    variant = "_nouser" if args.no_user else ""
+    variant = ("_nouser" if args.no_user else "") + (
+        "_devcache" if args.loader == "device" else "")
     params = dict(
         model_id=f"{args.model}_L{args.max_len}{variant}_longctr_syn",
         dataset_id="longctr_syn", data_root=RAW + "/",
@@ -60,6 +65,7 @@ def main():
         user_info=f"{RAW}/user_info.parquet",
         item_info=f"{RAW}/item_info.parquet",
         max_len=args.max_len, batch_size=args.batch_size, shuffle=True,
+        device_cache=args.loader == "device",
         embedding_dim=args.embedding_dim, learning_rate=1e-3,
         net_regularizer=None, embedding_regularizer=None,
         steps_per_call=8, compute_dtype="bfloat16",

@@ -178,3 +178,80 @@ def test_long_variant_trains(name, longctr_data):
     state, loss = model._make_train_step()(model.state, jax.device_put(batch),
                                            jax.random.PRNGKey(0))
     assert np.isfinite(float(loss)), name
+
+
+def test_device_cache_loader_matches_host_join(longctr_data):
+    """LongCTRDeviceCacheLoader's on-device join reproduces the host
+    loader's batches exactly (windowing, masks, item features, labels)."""
+    from fuxictr_tpu.data.device_cache import ROWS_KEY
+    from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
+    from fuxictr_tpu.data.longctr_loader import LongCTRDeviceCacheLoader
+
+    fm, root = longctr_data
+    host = LongCTRDataLoader(fm, str(root / "train.parquet"),
+                             batch_size=16, shuffle=False,
+                             user_info=str(root / "user_info.parquet"),
+                             item_info=str(root / "item_info.parquet"),
+                             max_len=MAX_LEN, dedup_items=False)
+    dev = LongCTRDeviceCacheLoader(
+        fm, str(root / "train.parquet"), batch_size=16, shuffle=False,
+        user_info=str(root / "user_info.parquet"),
+        item_info=str(root / "item_info.parquet"), max_len=MAX_LEN)
+    expand = dev.cache_expander
+    refs = dev.cache_refs()
+    B = 16
+    for bi, hb in enumerate(host):
+        idx = np.arange(bi * B, (bi + 1) * B, dtype=np.int32)
+        mask = (idx < dev.num_samples).astype(np.float32)
+        idx = np.where(mask > 0, idx, -1).astype(np.int32)
+        batch = dict(refs)
+        batch[ROWS_KEY] = idx
+        batch[SAMPLE_MASK_KEY] = mask
+        out = jax.jit(expand)(batch)
+        np.testing.assert_array_equal(
+            np.asarray(out[SEQ_MASK_KEY]) * np.asarray(mask)[:, None],
+            np.asarray(hb[SEQ_MASK_KEY]) * hb[SAMPLE_MASK_KEY][:, None])
+        vm = np.repeat(mask, MAX_LEN + 1) > 0
+        for col in ("item_id", "cate_id"):
+            np.testing.assert_array_equal(
+                np.asarray(out[ITEMS_KEY][col])[vm],
+                np.asarray(hb[ITEMS_KEY][col])[vm])
+        np.testing.assert_array_equal(
+            np.asarray(out["user_feat"])[mask > 0],
+            hb["user_feat"][hb[SAMPLE_MASK_KEY] > 0])
+        np.testing.assert_allclose(
+            np.asarray(out["clk"])[mask > 0],
+            hb["clk"][hb[SAMPLE_MASK_KEY] > 0])
+        np.testing.assert_array_equal(np.asarray(out[SAMPLE_MASK_KEY]), mask)
+
+
+def test_longctr_device_cache_fit_and_eval(longctr_data):
+    """SIM trains + evaluates through the device-resident LongCTR cache
+    (facade-selected via device_cache=True) and matches the host-join
+    loader's loss trajectory on the same rows."""
+    from fuxictr_tpu.data import RankDataLoader
+
+    fm, root = longctr_data
+    common = dict(
+        train_data=str(root / "train.parquet"),
+        valid_data=str(root / "train.parquet"),
+        user_info=str(root / "user_info.parquet"),
+        item_info=str(root / "item_info.parquet"),
+        max_len=MAX_LEN, batch_size=16, shuffle=False,
+        data_loader=LongCTRDataLoader)
+
+    def run(device_cache):
+        model = MODEL_REGISTRY["SIM"](
+            fm, embedding_dim=8, attention_dim=8, dnn_hidden_units=[16],
+            topk=4, short_seq_len=4, model_root="/tmp/fx_longctr_dc",
+            seed=2019, epochs=1)
+        train_gen, valid_gen = RankDataLoader(
+            fm, stage="train", device_cache=device_cache,
+            **common).make_iterator()
+        model.fit(train_gen, validation_data=valid_gen, epochs=1)
+        return model.evaluate(valid_gen)
+
+    host_logs = run(False)
+    dev_logs = run(True)
+    assert abs(host_logs["AUC"] - dev_logs["AUC"]) < 2e-3, (
+        host_logs, dev_logs)
