@@ -1,9 +1,9 @@
 """LongCTR quality-at-scale benchmark: lifelong sequences (L up to 1000)
 with a planted LONG-RANGE signal (scripts/make_longctr_scale.py).
 
-The dataset's same-category evidence is uniformly spread over 300-1000
-events, so the planted ceiling decomposes as (smoke-validated):
-  full-history oracle AUC ~0.834  vs  last-100-window oracle ~0.724.
+The planted early-repeat + early-affinity terms are structurally
+invisible to a last-100 window; the generator saves both ceilings
+(smoke-validated: Bayes AUC ~0.92 vs plug-in window predictor ~0.77).
 Retrieval models (SIM/ETA/TWIN: GSU->ESU over the full sequence) should
 recover far more of the gap than ANY model truncated to max_len=100 —
 measured here as AUC vs both ceilings on the same rows.
@@ -111,7 +111,7 @@ def main():
         y_true = pd.read_parquet(path, columns=["clk"])["clk"].to_numpy()
         bayes = evaluate_metrics(
             y_true, 1 / (1 + np.exp(-true_logit)), ["AUC", "logloss"])
-        print(json.dumps({
+        out = {
             "phase": "eval", "split": split, "model": args.model,
             "max_len": args.max_len,
             "AUC": round(float(logs["AUC"]), 6),
@@ -119,7 +119,14 @@ def main():
             "logloss": round(float(logs["logloss"]), 6),
             "bayes_AUC": round(float(bayes["AUC"]), 6),
             "AUC_gap_to_bayes": round(float(bayes["AUC"] - logs["AUC"]), 6),
-        }), flush=True)
+        }
+        win_path = f"{RAW}/{split}_window_logit.npy"
+        if os.path.exists(win_path):
+            win = evaluate_metrics(
+                y_true, 1 / (1 + np.exp(-np.load(win_path))), ["AUC"])
+            out["window_AUC"] = round(float(win["AUC"]), 6)
+            out["AUC_vs_window"] = round(float(logs["AUC"] - win["AUC"]), 6)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
