@@ -122,5 +122,17 @@ def main_criteo():
 if __name__ == "__main__":
     if "--dataset" in sys.argv and "criteo" in sys.argv:
         main_criteo()
-    else:
+    elif "--synthetic" in sys.argv:
         main()
+    else:
+        # default: prefer the real end-to-end Criteo-scale benchmark
+        # (train + eval through the device-resident input path) whenever
+        # the prebuilt dataset is present; else the synthetic step bench.
+        _fm = os.path.join(
+            os.environ.get("CRITEO_DATA", "/tmp/ctr_scale/criteo_full_data"),
+            os.environ.get("CRITEO_DATASET_ID", "criteo_full_syn"),
+            "feature_map.json")
+        if os.path.exists(_fm):
+            main_criteo()
+        else:
+            main()
