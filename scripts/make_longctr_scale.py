@@ -4,32 +4,50 @@ LONG-RANGE signal, in the side-table layout the LongCTR stack consumes
 ``user_info.parquet`` (full item sequences, 300..1000 events),
 ``item_info.parquet`` (item -> cate), interaction parquets with
 (user_index, item_index, seq_len, clk), and a hand-written
-feature_map.json — plus {split}_true_logit.npy for the Bayes ceiling
-and {split}_window_logit.npy for a fitted plug-in last-100-window
-predictor (the window information ceiling a max_len=100 model chases).
+feature_map.json — plus per-split ceiling logits:
 
-The long-range components are STRUCTURALLY exclusive to the EARLY
-history (everything before the last 100 events) — a last-100 window
-cannot observe them even in principle:
+  {split}_true_logit.npy    Bayes ceiling (full generative knowledge)
+  {split}_window_logit.npy  the EXACT last-100-window information
+                            ceiling's natural predictor (see below)
+  {split}_repeat_logit.npy  window predictor + the realized early-repeat
+                            indicator (what identity-level retrieval can
+                            add before learning any latent vectors)
+
+Design (third iteration — the first two are documented because their
+failure modes are instructive):
+
+  v1 planted full-history same-category aggregates; every model scored
+     ~0.784 AUC at max_len 100 AND 1000: the cate-mean affinity was
+     predictable from the target's own cate embedding, the recency term
+     sat inside every window, and log1p(match count) was proxied by the
+     in-window count.
+  v2 made the aggregates early-exclusive (positions before the last 100)
+     over item-idiosyncratic vectors, with interest-biased draws; SIM
+     scored 0.847 at BOTH max_len 100 and 1000, +0.07 ABOVE the plug-in
+     window predictor: with STATIONARY interest-biased histories a
+     100-event window is statistically sufficient to infer the user's
+     preference vector, and P(early repeat | interest, popularity) plus
+     the affinity term's conditional mean are then predictable without
+     ever reading the early history. Long-range retrieval can only add
+     the REALIZED early evidence beyond its conditional mean.
+  v3 (this file) removes the interest bias entirely: histories and
+     targets are iid popularity draws, so realized early events are
+     CONDITIONALLY INDEPENDENT of the window given (item popularity,
+     seq_len) — the early-repeat indicator and early affinity are
+     provably invisible to any max_len=100 model, whose information
+     ceiling is exactly the analytic window predictor saved here.
 
     logit = wP * 1[target item in EARLY]                    (early repeat)
           + wE * <e_t, mean(e_i : cate_i == cate_t, i in EARLY)>
           + wR * <v_t, mean(v_i : last 50 events)> + bias   (recency)
 
-where v_i = 0.75*cate_vec[c_i] + 0.65*e_i and the EARLY affinity uses
-only the item-IDIOSYNCRATIC parts e_i, so the target's own cate_id
-embedding cannot proxy the term. A first version of this benchmark
-used full-history aggregates of the full v_i; every model scored an
-identical ~0.784 AUC at max_len 100 and 1000 because the cate-mean part
-was target-predictable, the recency term sat inside every window, and
-log1p(match count) was proxied by the in-window count. With the
-early/window split, the best a window model can do is the recency term
-plus priors: the saved plug-in predictor uses the recency term, an
-empirical P(early-repeat | in-window-repeat, popularity bucket) table
-fitted on train rows, and zero for the early affinity. Retrieval models
-at max_len=1000 (SIM/ETA/TWIN GSU->ESU surface exact/same-category
-matches from the whole sequence) must recover the early evidence to
-beat it.
+  window predictor: wP * (1-(1-p_t)^{L-100}) + wR * recency + bias
+  (analytic expectation of the early terms given everything a last-100
+  window can observe; the affinity term's conditional mean is 0).
+
+Retrieval models at max_len=1000 (SIM/ETA/TWIN GSU->ESU) must surface
+exact/same-category matches from the early history to beat it — exactly
+the capability the LongCTR family exists for.
 """
 
 import argparse
@@ -41,7 +59,7 @@ import numpy as np
 import pandas as pd
 
 N_USERS = 60_000
-N_ITEMS = 100_000
+N_ITEMS = 30_000
 N_CATES = 200
 EMB_K = 8
 MAX_LEN = 1_000
@@ -49,8 +67,7 @@ MIN_LEN = 300
 WINDOW = 100          # what a max_len=100 model sees; EARLY = the rest
 RECENT = 50
 SPLITS = {"train": 2_000_000, "valid": 250_000, "test": 250_000}
-W_PRESENT, W_AFF, W_RECENT, BIAS = 1.5, 0.55, 0.35, -2.4
-POP_BUCKETS = 16
+W_PRESENT, W_AFF, W_RECENT, BIAS = 1.8, 0.7, 0.35, -1.9
 
 
 def main():
@@ -64,34 +81,27 @@ def main():
     rng = np.random.default_rng(args.seed)
     n_users = max(64, int(N_USERS * min(1.0, args.scale * 4)))
 
-    # catalog: Zipf popularity; latent vectors = category part + an
-    # item-idiosyncratic part e (kept separate: the planted EARLY
-    # affinity uses e only)
-    pop = 1.0 / np.power(np.arange(1, N_ITEMS + 1), 0.95)
+    # catalog: flat-ish Zipf popularity (alpha=0.6 keeps the early-repeat
+    # indicator informative across ranks); latent vectors = category part
+    # + an item-idiosyncratic part e (the planted EARLY affinity uses e
+    # only)
+    pop = 1.0 / np.power(np.arange(1, N_ITEMS + 1), 0.6)
     p_item = (pop / pop.sum()).astype(np.float64)
     item_cdf = np.cumsum(p_item)
     item_cate = rng.integers(1, N_CATES + 1, N_ITEMS)
     cate_vec = rng.normal(0, 1.0, (N_CATES + 1, EMB_K)).astype(np.float32)
     item_e = rng.normal(0, 1.0, (N_ITEMS, EMB_K)).astype(np.float32)
     item_vec = (0.75 * cate_vec[item_cate] + 0.65 * item_e).astype(np.float32)
-    user_vec = rng.normal(0, 1.0, (n_users, EMB_K)).astype(np.float32)
 
-    # per-user lifelong histories: interest-biased popularity draws, no
-    # temporal structure (=> early matches can't be inferred from order)
+    # per-user lifelong histories: IID popularity draws — no interest
+    # bias, no temporal structure (=> the window carries zero information
+    # about early realizations beyond popularity and seq_len)
     lens = rng.integers(MIN_LEN, MAX_LEN + 1, n_users)
     off = np.zeros(n_users + 1, np.int64)
     off[1:] = np.cumsum(lens)
     total = int(off[-1])
-    flat = np.empty(total, np.int64)
     t0 = time.time()
-    for u in range(n_users):
-        L = lens[u]
-        ids = np.searchsorted(item_cdf, rng.random(L), side="right")
-        aff = item_vec[ids] @ user_vec[u]
-        redraw = rng.random(L) >= 1 / (1 + np.exp(-aff))
-        ids[redraw] = np.searchsorted(item_cdf, rng.random(redraw.sum()),
-                                      side="right")
-        flat[off[u]:off[u + 1]] = ids
+    flat = np.searchsorted(item_cdf, rng.random(total), side="right")
     print(f"histories: {total} events over {n_users} users "
           f"({time.time() - t0:.0f}s)", flush=True)
 
@@ -101,7 +111,6 @@ def main():
     early_mask = np.arange(total) < (ends - WINDOW)
     ui_keys = flat_user * N_ITEMS + flat
     early_sorted = np.sort(ui_keys[early_mask])
-    win_sorted = np.sort(ui_keys[~early_mask])
 
     # dense per-(user,cate) EARLY aggregates of the idiosyncratic e part
     ec_key = (flat_user * (N_CATES + 1) + item_cate[flat])[early_mask]
@@ -150,30 +159,20 @@ def main():
     with open(os.path.join(args.out, "feature_map.json"), "w") as fd:
         json.dump(feature_map, fd, indent=4)
 
-    # popularity buckets for the plug-in window predictor
-    pb_edges = np.quantile(p_item, np.linspace(0, 1, POP_BUCKETS + 1)[1:-1])
-
     # interactions --------------------------------------------------------
-    rows = {}
     for split, n_split in SPLITS.items():
         n_split = int(n_split * args.scale)
-        frames, logit_parts, done = [], [], 0
-        present_parts, winp_parts, pb_parts, rec_parts = [], [], [], []
+        frames, done = [], 0
+        logit_parts, win_parts, rep_parts = [], [], []
         while done < n_split:
             n = min(args.chunk, n_split - done)
             users = rng.integers(0, n_users, n)
-            # targets: popularity draws, half re-ranked toward interest
+            # targets: iid popularity draws (no interest re-ranking)
             tgt = np.searchsorted(item_cdf, rng.random(n), side="right")
-            aff_t = np.einsum("nk,nk->n", item_vec[tgt], user_vec[users])
-            redraw = rng.random(n) >= 1 / (1 + np.exp(-aff_t))
-            tgt[redraw] = np.searchsorted(
-                item_cdf, rng.random(int(redraw.sum())), side="right")
 
             q = users * N_ITEMS + tgt
             present = (np.searchsorted(early_sorted, q, "right")
                        > np.searchsorted(early_sorted, q, "left"))
-            win_present = (np.searchsorted(win_sorted, q, "right")
-                           > np.searchsorted(win_sorted, q, "left"))
             c = item_cate[tgt]
             cnt = cnt_ec[users, c]
             mean_e = sum_ec[users, c] / np.maximum(cnt, 1)[:, None]
@@ -185,6 +184,15 @@ def main():
                      + W_RECENT * rec_term
                      + BIAS).astype(np.float32)
             y = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype(np.float32)
+            # analytic window predictor: early realizations are independent
+            # of the window given (p_t, L_early), so this IS the window
+            # information ceiling's natural predictor
+            l_early = np.maximum(lens[users] - WINDOW, 0)
+            p_present = 1.0 - np.power(1.0 - p_item[tgt], l_early)
+            win_logit = (W_PRESENT * p_present + W_RECENT * rec_term
+                         + BIAS).astype(np.float32)
+            rep_logit = (W_PRESENT * present + W_RECENT * rec_term
+                         + BIAS).astype(np.float32)
             frames.append(pd.DataFrame({
                 "user_index": users,
                 "user_feat": users + 1,
@@ -193,35 +201,16 @@ def main():
                 "clk": y,
             }))
             logit_parts.append(logit)
-            present_parts.append(present)
-            winp_parts.append(win_present)
-            pb_parts.append(np.digitize(p_item[tgt], pb_edges))
-            rec_parts.append(rec_term.astype(np.float32))
+            win_parts.append(win_logit)
+            rep_parts.append(rep_logit)
             done += n
             print(f"[{split}] {done}/{n_split}", flush=True)
         pd.concat(frames, ignore_index=True).to_parquet(
             os.path.join(args.out, f"{split}.parquet"))
-        np.save(os.path.join(args.out, f"{split}_true_logit.npy"),
-                np.concatenate(logit_parts))
-        rows[split] = (np.concatenate(present_parts),
-                       np.concatenate(winp_parts),
-                       np.concatenate(pb_parts),
-                       np.concatenate(rec_parts))
-
-    # plug-in window predictor: P(early repeat | window repeat, pop
-    # bucket) fitted on TRAIN realized indicators; early affinity -> 0
-    tr_present, tr_win, tr_pb, _ = rows["train"]
-    table = np.zeros((2, POP_BUCKETS), np.float64)
-    for w in (0, 1):
-        for b in range(POP_BUCKETS):
-            sel = (tr_win == w) & (tr_pb == b)
-            table[w, b] = tr_present[sel].mean() if sel.any() \
-                else tr_present.mean()
-    for split, (_, winp, pb, rec) in rows.items():
-        win_logit = (W_PRESENT * table[winp.astype(int), pb]
-                     + W_RECENT * rec + BIAS).astype(np.float32)
-        np.save(os.path.join(args.out, f"{split}_window_logit.npy"),
-                win_logit)
+        for name, parts in (("true", logit_parts), ("window", win_parts),
+                            ("repeat", rep_parts)):
+            np.save(os.path.join(args.out, f"{split}_{name}_logit.npy"),
+                    np.concatenate(parts))
     print(f"done -> {args.out} ({time.time() - t0:.0f}s)", flush=True)
 
 
