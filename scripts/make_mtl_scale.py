@@ -14,6 +14,14 @@ Two binary labels (click, conversion) from separate planted logits over
                                             can specialize)
   excl_t = sum_{P_t}       <u_f, u_g>      (task-exclusive pairs)
 
+v2 additionally plants the SAME structure in learnable categorical-table
+form (C_SHARED same-sign, C_CONFL sign-flipped, C_CLICK/C_CONV
+exclusive): the first run measured the pairwise-latent terms as
+unlearned by every model (ShareBottom/MMoE/PLE all 0.760/0.739 AUC),
+so the latent conflict exerted no transfer pressure at all. The
+categorical terms are learnable by construction (~1k+ rows per cell),
+making the conflict real; the latent terms remain as the hard tail.
+
 Per-row true logits for BOTH tasks are saved, so each task's Bayes
 ceiling is measurable on the eval rows (cf. scripts/make_criteo_scale.py).
 Output: train/valid/test csv (click,conversion,C1..C16) + true-logit npys.
@@ -32,6 +40,15 @@ P_SHARED = [(0, 2), (1, 3), (4, 5)]
 P_CONFL = [(0, 4), (2, 6), (1, 7)]
 P_CLICK = [(3, 8), (5, 9)]
 P_CONV = [(6, 10), (7, 11)]
+# learnable (categorical-table) counterparts of the latent structure —
+# added in v2 after the first run measured the pairwise-latent terms as
+# unlearned by EVERY model (identical 0.760/0.739 AUC, ~0.06 gap to
+# Bayes): conflict = same table, +click/-conversion; exclusive = one
+# field per task
+C_SHARED = [8, 9]          # vocab 200 / 100, same sign in both tasks
+C_CONFL = [10, 11]         # vocab 60 / 40, sign flips between tasks
+C_CLICK, C_CONV = 12, 13   # vocab 24 / 12, task-exclusive
+W_CAT_STD = 0.45
 SPLITS = {"train": 8_000_000, "valid": 1_000_000, "test": 1_000_000}
 BIAS_CLICK, BIAS_CONV = -1.62, -2.95
 MAIN_CLICK, MAIN_CONV = 1.0, 0.75
@@ -57,6 +74,8 @@ def main():
             if idx not in u_lat:
                 u_lat[idx] = rng.normal(
                     0.0, 0.40, (VOCABS[idx], EMB_K)).astype(np.float32)
+    w_cat = {f: rng.normal(0.0, W_CAT_STD, VOCABS[f]).astype(np.float32)
+             for f in C_SHARED + C_CONFL + [C_CLICK, C_CONV]}
 
     header = "click,conversion," + ",".join(
         f"C{i+1}" for i in range(len(VOCABS)))
@@ -86,9 +105,13 @@ def main():
                     return s
 
                 shared, confl = pair_sum(P_SHARED), pair_sum(P_CONFL)
+                cat_sh = sum(w_cat[f][cats[:, f]] for f in C_SHARED)
+                cat_cf = sum(w_cat[f][cats[:, f]] for f in C_CONFL)
                 lc = (BIAS_CLICK + MAIN_CLICK * main + shared + confl
+                      + cat_sh + cat_cf + w_cat[C_CLICK][cats[:, C_CLICK]]
                       + pair_sum(P_CLICK)).astype(np.float32)
                 lv = (BIAS_CONV + MAIN_CONV * main + shared - confl
+                      + cat_sh - cat_cf + w_cat[C_CONV][cats[:, C_CONV]]
                       + pair_sum(P_CONV)).astype(np.float32)
                 yc = (rng.random(n) < 1 / (1 + np.exp(-lc))).astype(np.int8)
                 yv = (rng.random(n) < 1 / (1 + np.exp(-lv))).astype(np.int8)
