@@ -64,6 +64,16 @@ class _LongCTRBase(nn.Module):
         mask = jnp.asarray(batch[SEQ_MASK_KEY])
         return emb_list, item_emb, mask
 
+    def _raw_item_ids(self, batch, name):
+        """Raw encoded values of an item-side field as [B, L+1] (undoes the
+        loader's dedup via INVERSE_KEY when present)."""
+        from fuxictr_tpu.ops.embedding import INVERSE_KEY
+        vals = jnp.asarray(batch[ITEMS_KEY][name])
+        if INVERSE_KEY in batch[ITEMS_KEY]:
+            vals = vals[jnp.asarray(batch[ITEMS_KEY][INVERSE_KEY])]
+        B = batch[SEQ_MASK_KEY].shape[0]
+        return vals.reshape(B, -1)
+
 
 def topk_gather(seq_emb, mask, scores, k):
     """Select top-k positions by score: ([B,k,D], [B,k]) via lax.top_k."""
@@ -83,7 +93,21 @@ def lsh_hash(vecs, rotations):
 # -------------------------------------------------------------------- SIM
 class _SIMNet(_LongCTRBase):
     """SIM soft-search (ref: model_zoo/LongCTR/SIM/SIM.py:26-246): GSU
-    qk-scores → top-k → ESU attention; auxiliary GSU head trained jointly."""
+    qk-scores → top-k → ESU attention; auxiliary GSU head trained jointly.
+
+    Extensions beyond the reference (both opt-in, defaults keep exact
+    reference semantics; the reference asserts soft-only at SIM.py:87):
+
+    - ``gsu_type="hard"`` — the SIM paper's hard search: the GSU keeps
+      only history events whose ``gsu_hard_field`` (category) equals the
+      target's, ranked within the matches by the soft qk score.
+    - ``product_pooling=True`` — appends masked mean/max pooling of the
+      elementwise target∘history products over the retrieved set plus
+      log1p match-count scalars (exact-item and hard-field matches over
+      the FULL sequence) to the ESU MLP input. Pooled products make
+      target-history affinity LINEARLY readable — measured on the planted
+      long-range benchmark, soft attention alone never learns it
+      (BENCHMARKS.md, LongCTR v3)."""
 
     dnn_hidden_units: Sequence[int] = (512, 128, 64)
     dnn_activations: Union[str, Sequence[str]] = "relu"
@@ -96,6 +120,10 @@ class _SIMNet(_LongCTRBase):
     beta: float = 1.0
     net_dropout: float = 0.0
     batch_norm: bool = False
+    gsu_type: str = "soft"
+    gsu_hard_field: str = "cate_id"
+    product_pooling: bool = False
+    match_field: str = "item_id"
 
     @nn.compact
     def __call__(self, batch, train=False):
@@ -128,15 +156,50 @@ class _SIMNet(_LongCTRBase):
         # reference selects on qk AFTER the mask multiply (SIM.py:152-158):
         # padded positions carry score 0, NOT -inf, and can outrank
         # negative real scores — replicated verbatim for parity
-        topk_emb, topk_mask, _, _ = topk_gather(long_seq, mask, qk,
-                                                self.topk)
+        if self.gsu_type == "hard":
+            hard_ids = self._raw_item_ids(batch, self.gsu_hard_field)
+            hard_match = ((hard_ids[:, :-1] == hard_ids[:, -1:])
+                          .astype(jnp.float32) * mask)
+            sel = hard_match * 1e3 + jnp.tanh(qk)
+        else:
+            hard_match = None
+            sel = qk
+        topk_emb, topk_mask, top_idx, _ = topk_gather(long_seq, mask, sel,
+                                                      self.topk)
+        if hard_match is not None:
+            topk_mask = topk_mask * jnp.take_along_axis(hard_match, top_idx,
+                                                        axis=1)
         long_interest = MultiHeadTargetAttention(
             input_dim=target_emb.shape[-1], attention_dim=self.attention_dim,
             num_heads=self.num_heads, dropout_rate=self.attention_dropout,
             name="long_attention")(target_emb, topk_emb, topk_mask,
                                    train=train)
-        esu_in = jnp.concatenate(
-            emb_list + [target_emb, short_interest, long_interest], axis=-1)
+        if hard_match is not None:
+            # empty retrieval set => zero interest vector (all-masked
+            # softmax would otherwise average arbitrary non-matches)
+            any_match = (topk_mask.sum(-1, keepdims=True) > 0)
+            long_interest = long_interest * any_match
+        esu_feats = emb_list + [target_emb, short_interest, long_interest]
+        if self.product_pooling:
+            pm = topk_mask[..., None]
+            prod = target_emb[:, None, :] * topk_emb
+            n_sel = jnp.maximum(topk_mask.sum(-1, keepdims=True), 1.0)
+            prod_mean = (prod * pm).sum(1) / n_sel
+            prod_max = jnp.where(
+                topk_mask.sum(-1, keepdims=True) > 0,
+                jnp.max(jnp.where(pm > 0, prod, _NEG_INF), axis=1), 0.0)
+            tgt_ids = self._raw_item_ids(batch, self.match_field)
+            exact = ((tgt_ids[:, :-1] == tgt_ids[:, -1:])
+                     .astype(jnp.float32) * mask)
+            counts = [jnp.log1p(exact.sum(-1, keepdims=True))]
+            if hard_match is None and self.gsu_hard_field in batch[ITEMS_KEY]:
+                f_ids = self._raw_item_ids(batch, self.gsu_hard_field)
+                hard_match = ((f_ids[:, :-1] == f_ids[:, -1:])
+                              .astype(jnp.float32) * mask)
+            if hard_match is not None:
+                counts.append(jnp.log1p(hard_match.sum(-1, keepdims=True)))
+            esu_feats += [prod_mean, prod_max] + counts
+        esu_in = jnp.concatenate(esu_feats, axis=-1)
         y = MLP_Block(hidden_units=tuple(self.dnn_hidden_units),
                       hidden_activations=self.dnn_activations,
                       output_dim=1, dropout_rates=self.net_dropout,
@@ -156,12 +219,18 @@ class SIM(RankModel):
                  dnn_activations="relu", attention_dropout=0.0,
                  attention_dim=64, num_heads=1, gsu_type="soft",
                  short_seq_len=50, topk=50, alpha=1, beta=1, net_dropout=0.0,
-                 batch_norm=False, accumulation_steps=1, **kwargs):
-        assert gsu_type == "soft", "Only soft search is supported."
+                 batch_norm=False, accumulation_steps=1,
+                 gsu_hard_field="cate_id", product_pooling=False,
+                 match_field="item_id", **kwargs):
+        assert gsu_type in ("soft", "hard"), \
+            f"gsu_type={gsu_type} not supported (soft|hard)."
         net = _SIMNet(feature_map, embedding_dim, tuple(dnn_hidden_units),
                       dnn_activations, attention_dropout, attention_dim,
                       num_heads, short_seq_len, topk, float(alpha),
-                      float(beta), net_dropout, batch_norm)
+                      float(beta), net_dropout, batch_norm,
+                      gsu_type=gsu_type, gsu_hard_field=gsu_hard_field,
+                      product_pooling=bool(product_pooling),
+                      match_field=match_field)
         super().__init__(feature_map, net=net, model_id=model_id, **kwargs)
         self._alpha, self._beta = float(alpha), float(beta)
         self.compile(lr=learning_rate)

@@ -35,6 +35,16 @@ def main():
                     help="host = side-table join per batch on the host "
                     "(reference semantics); device = stage sequences + item "
                     "table in HBM, join on device (LongCTRDeviceCacheLoader)")
+    ap.add_argument("--gsu-type", default="soft", choices=["soft", "hard"],
+                    help="SIM GSU: soft qk top-k, or the paper's hard "
+                    "(category-match) search")
+    ap.add_argument("--product-pooling", action="store_true",
+                    help="append target*history product pooling + match "
+                    "counts to the ESU input (SIM extension)")
+    ap.add_argument("--no-lr-decay", action="store_true",
+                    help="keep lr constant (plateau decay freezes the slow "
+                    "item-embedding learning the planted signal needs)")
+    ap.add_argument("--patience", type=int, default=2)
     ap.add_argument("--no-user", action="store_true",
                     help="drop the explicit user_feat id so the HISTORY is "
                     "the only user representation (the honest long-range "
@@ -54,7 +64,9 @@ def main():
     from fuxictr_tpu.models import get_model, seed_everything
 
     variant = ("_nouser" if args.no_user else "") + (
-        "_devcache" if args.loader == "device" else "")
+        "_devcache" if args.loader == "device" else "") + (
+        "_hard" if args.gsu_type == "hard" else "") + (
+        "_pp" if args.product_pooling else "")
     params = dict(
         model_id=f"{args.model}_L{args.max_len}{variant}_longctr_syn",
         dataset_id="longctr_syn", data_root=RAW + "/",
@@ -72,11 +84,14 @@ def main():
         monitor="AUC", metrics=["AUC", "logloss", "gAUC"],
         group_id="user_index" if args.no_user else "user_feat",
         **({"use_features": ["item_id", "cate_id"]} if args.no_user else {}),
-        reduce_lr_on_plateau=True, epochs=args.epochs, verbose=1,
+        reduce_lr_on_plateau=not args.no_lr_decay,
+        early_stop_patience=args.patience,
+        epochs=args.epochs, verbose=1,
         # retrieval shapes scale with the window
         short_seq_len=min(100, args.max_len), topk=min(args.topk,
                                                        args.max_len),
         attention_dim=64, dnn_hidden_units=[512, 256],
+        gsu_type=args.gsu_type, product_pooling=args.product_pooling,
     )
     set_logger(params)
     seed_everything(2019)

@@ -136,6 +136,10 @@ def test_loader_pads_last_batch(longctr_data):
 
 @pytest.mark.parametrize("name,kw", [
     ("SIM", dict(topk=5, short_seq_len=4)),
+    ("SIM", dict(topk=5, short_seq_len=4, gsu_type="hard")),
+    ("SIM", dict(topk=5, short_seq_len=4, gsu_type="hard",
+                 product_pooling=True)),
+    ("SIM", dict(topk=5, short_seq_len=4, product_pooling=True)),
     ("ETA", dict(topk=5, short_seq_len=4, hash_bits=8)),
     ("SDIM", dict(short_seq_len=4, num_hashes=2, hash_bits=3)),
     ("TWIN", dict(topk=5, short_seq_len=4)),
@@ -157,6 +161,67 @@ def test_longctr_model_trains(name, kw, longctr_data):
     assert np.isfinite(float(loss)), name
     y = model._make_predict_step()(state, jax.device_put(batch))
     assert np.asarray(y).shape[0] == 16
+
+
+def _craft_batch(hist_items, hist_cates, tgt_item, tgt_cate):
+    """Hand-built LongCTR batch: B=1, L=len(hist_items)."""
+    L = len(hist_items)
+    items = {
+        "item_id": np.array(hist_items + [tgt_item], np.int64),
+        "cate_id": np.array(hist_cates + [tgt_cate], np.int64),
+    }
+    return {
+        "user_feat": np.array([1], np.int64),
+        "clk": np.array([1.0], np.float32),
+        SEQ_MASK_KEY: np.ones((1, L), np.float32),
+        ITEMS_KEY: items,
+        "__mask__": np.ones(1, np.float32),
+    }
+
+
+def test_sim_hard_gsu_ignores_nonmatching_history(longctr_data):
+    """Hard search must make y_pred invariant to history events whose
+    category does not match the target (outside the short window); soft
+    search attends them and must NOT be invariant."""
+    fm, _ = longctr_data
+    # short window = last short_seq_len-1 = 1 event (kept identical);
+    # the first 3 events share cate 2 != target cate 3 and differ in ids
+    a = _craft_batch([5, 6, 7, 9], [2, 2, 2, 2], 3, 3)
+    b = _craft_batch([10, 11, 12, 9], [2, 2, 2, 2], 3, 3)
+    # c swaps a non-short-window event to the target's category: the
+    # matched set becomes non-empty, so hard-mode output MUST move
+    # (guards against the invariance passing vacuously)
+    c = _craft_batch([5, 6, 7, 9], [3, 2, 2, 2], 3, 3)
+    model = MODEL_REGISTRY["SIM"](
+        fm, model_id="SIM_hard_inv", embedding_dim=8, attention_dim=8,
+        dnn_hidden_units=(16,), topk=3, short_seq_len=2, gsu_type="hard",
+        product_pooling=True, model_root="/tmp/fx_longctr")
+    model._example_batch = lambda batch_size=1: a
+    model.init_params()
+    predict = model._make_predict_step()
+    ya = np.asarray(predict(model.state, jax.device_put(a)))
+    yb = np.asarray(predict(model.state, jax.device_put(b)))
+    yc = np.asarray(predict(model.state, jax.device_put(c)))
+    np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(ya, yc, rtol=1e-5, atol=1e-6)
+
+
+def test_sim_product_pooling_sees_exact_repeat(longctr_data):
+    """The exact-item match count must change y_pred when the target
+    appears in the (otherwise identical) history."""
+    fm, _ = longctr_data
+    a = _craft_batch([5, 6, 7, 9], [3, 2, 2, 2], 3, 3)   # no repeat
+    b = _craft_batch([3, 6, 7, 9], [3, 2, 2, 2], 3, 3)   # repeat at pos 0
+    model = MODEL_REGISTRY["SIM"](
+        fm, model_id="SIM_pp_repeat", embedding_dim=8, attention_dim=8,
+        dnn_hidden_units=(16,), topk=3, short_seq_len=2, gsu_type="hard",
+        product_pooling=True, model_root="/tmp/fx_longctr")
+    model._example_batch = lambda batch_size=1: a
+    model.init_params()
+    predict = model._make_predict_step()
+    ya = np.asarray(predict(model.state, jax.device_put(a)))
+    yb = np.asarray(predict(model.state, jax.device_put(b)))
+    assert not np.allclose(ya, yb, rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("name", ["LongDIN", "LongDIEN", "LongDCNv2",
