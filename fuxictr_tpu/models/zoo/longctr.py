@@ -74,6 +74,37 @@ class _LongCTRBase(nn.Module):
         B = batch[SEQ_MASK_KEY].shape[0]
         return vals.reshape(B, -1)
 
+    def _product_pool_feats(self, batch, target_emb, sel_emb, sel_mask,
+                            mask, match_field, count_field):
+        """Masked mean/max pooling of the elementwise target∘selected
+        products over the model's retrieved set, plus log1p match-count
+        scalars (exact ``match_field`` and ``count_field`` matches over the
+        FULL history). Opt-in extension shared by the whole LongCTR family:
+        attention-weighted sums followed by an MLP never learn
+        target-history product structure on the planted window-exclusive
+        benchmark, while pooled products make the affinity linearly
+        readable (BENCHMARKS.md, LongCTR v3 — +0.105 AUC for SIM)."""
+        pm = sel_mask[..., None]
+        prod = target_emb[:, None, :] * sel_emb
+        n_sel = jnp.maximum(sel_mask.sum(-1, keepdims=True), 1.0)
+        prod_mean = (prod * pm).sum(1) / n_sel
+        prod_max = jnp.where(
+            sel_mask.sum(-1, keepdims=True) > 0,
+            jnp.max(jnp.where(pm > 0, prod, _NEG_INF), axis=1), 0.0)
+        feats = [prod_mean, prod_max]
+        if match_field in batch[ITEMS_KEY]:
+            tgt_ids = self._raw_item_ids(batch, match_field)
+            exact = ((tgt_ids[:, :-1] == tgt_ids[:, -1:])
+                     .astype(jnp.float32) * mask)
+            feats.append(jnp.log1p(exact.sum(-1, keepdims=True)))
+        if count_field and count_field != match_field \
+                and count_field in batch[ITEMS_KEY]:
+            f_ids = self._raw_item_ids(batch, count_field)
+            fmatch = ((f_ids[:, :-1] == f_ids[:, -1:])
+                      .astype(jnp.float32) * mask)
+            feats.append(jnp.log1p(fmatch.sum(-1, keepdims=True)))
+        return feats
+
 
 def topk_gather(seq_emb, mask, scores, k):
     """Select top-k positions by score: ([B,k,D], [B,k]) via lax.top_k."""
@@ -181,24 +212,9 @@ class _SIMNet(_LongCTRBase):
             long_interest = long_interest * any_match
         esu_feats = emb_list + [target_emb, short_interest, long_interest]
         if self.product_pooling:
-            pm = topk_mask[..., None]
-            prod = target_emb[:, None, :] * topk_emb
-            n_sel = jnp.maximum(topk_mask.sum(-1, keepdims=True), 1.0)
-            prod_mean = (prod * pm).sum(1) / n_sel
-            prod_max = jnp.where(
-                topk_mask.sum(-1, keepdims=True) > 0,
-                jnp.max(jnp.where(pm > 0, prod, _NEG_INF), axis=1), 0.0)
-            tgt_ids = self._raw_item_ids(batch, self.match_field)
-            exact = ((tgt_ids[:, :-1] == tgt_ids[:, -1:])
-                     .astype(jnp.float32) * mask)
-            counts = [jnp.log1p(exact.sum(-1, keepdims=True))]
-            if hard_match is None and self.gsu_hard_field in batch[ITEMS_KEY]:
-                f_ids = self._raw_item_ids(batch, self.gsu_hard_field)
-                hard_match = ((f_ids[:, :-1] == f_ids[:, -1:])
-                              .astype(jnp.float32) * mask)
-            if hard_match is not None:
-                counts.append(jnp.log1p(hard_match.sum(-1, keepdims=True)))
-            esu_feats += [prod_mean, prod_max] + counts
+            esu_feats += self._product_pool_feats(
+                batch, target_emb, topk_emb, topk_mask, mask,
+                self.match_field, self.gsu_hard_field)
         esu_in = jnp.concatenate(esu_feats, axis=-1)
         y = MLP_Block(hidden_units=tuple(self.dnn_hidden_units),
                       hidden_activations=self.dnn_activations,
@@ -261,6 +277,9 @@ class _ETANet(_LongCTRBase):
     hash_bits: int = 32
     net_dropout: float = 0.0
     batch_norm: bool = False
+    product_pooling: bool = False
+    match_field: str = "item_id"
+    count_field: str = "cate_id"
 
     @nn.compact
     def __call__(self, batch, train=False):
@@ -297,8 +316,12 @@ class _ETANet(_LongCTRBase):
             num_heads=self.num_heads, dropout_rate=self.attention_dropout,
             name="long_attention")(target_emb, topk_emb, topk_mask,
                                    train=train)
-        x = jnp.concatenate(
-            emb_list + [target_emb, short_interest, long_interest], axis=-1)
+        feats = emb_list + [target_emb, short_interest, long_interest]
+        if self.product_pooling:
+            feats += self._product_pool_feats(
+                batch, target_emb, topk_emb, topk_mask, mask,
+                self.match_field, self.count_field)
+        x = jnp.concatenate(feats, axis=-1)
         y = MLP_Block(hidden_units=tuple(self.dnn_hidden_units),
                       hidden_activations=self.dnn_activations,
                       output_dim=1, dropout_rates=self.net_dropout,
@@ -317,11 +340,14 @@ class ETA(RankModel):
                  dnn_activations="relu", attention_dropout=0.0,
                  attention_dim=64, num_heads=1, short_seq_len=50, topk=50,
                  hash_bits=32, reuse_hash=True, net_dropout=0.0,
-                 batch_norm=False, accumulation_steps=1, **kwargs):
+                 batch_norm=False, accumulation_steps=1,
+                 product_pooling=False, match_field="item_id",
+                 count_field="cate_id", **kwargs):
         net = _ETANet(feature_map, embedding_dim, tuple(dnn_hidden_units),
                       dnn_activations, attention_dropout, attention_dim,
                       num_heads, short_seq_len, topk, hash_bits, net_dropout,
-                      batch_norm)
+                      batch_norm, product_pooling=bool(product_pooling),
+                      match_field=match_field, count_field=count_field)
         super().__init__(feature_map, net=net, model_id=model_id, **kwargs)
         self.compile(lr=learning_rate)
 
@@ -344,6 +370,9 @@ class _SDIMNet(_LongCTRBase):
     l2_norm: bool = False      # reference default (SDIM.py:73)
     net_dropout: float = 0.0
     batch_norm: bool = False
+    product_pooling: bool = False
+    match_field: str = "item_id"
+    count_field: str = "cate_id"
 
     @nn.compact
     def __call__(self, batch, train=False):
@@ -379,8 +408,14 @@ class _SDIMNet(_LongCTRBase):
             sq = jnp.sum(attn * attn, axis=-1, keepdims=True)
             attn = attn * jax.lax.rsqrt(sq + 1e-12)
         long_interest = jnp.mean(attn, axis=1)
-        x = jnp.concatenate(
-            emb_list + [target_emb, long_interest, short_interest], axis=-1)
+        feats = emb_list + [target_emb, long_interest, short_interest]
+        if self.product_pooling:
+            # retrieved set = events colliding with the target in ANY round
+            sel_mask = jnp.max(collide, axis=-1)
+            feats += self._product_pool_feats(
+                batch, target_emb, long_seq, sel_mask, mask,
+                self.match_field, self.count_field)
+        x = jnp.concatenate(feats, axis=-1)
         y = MLP_Block(hidden_units=tuple(self.dnn_hidden_units),
                       hidden_activations=self.dnn_activations,
                       output_dim=1, dropout_rates=self.net_dropout,
@@ -400,11 +435,14 @@ class SDIM(RankModel):
                  attention_dim=64, num_heads=1, short_seq_len=50,
                  num_hashes=1, hash_bits=4, l2_norm=False, reuse_hash=True,
                  net_dropout=0.0, batch_norm=False, accumulation_steps=1,
-                 **kwargs):
+                 product_pooling=False, match_field="item_id",
+                 count_field="cate_id", **kwargs):
         net = _SDIMNet(feature_map, embedding_dim, tuple(dnn_hidden_units),
                        dnn_activations, attention_dropout, attention_dim,
                        num_heads, short_seq_len, num_hashes, hash_bits,
-                       l2_norm, net_dropout, batch_norm)
+                       l2_norm, net_dropout, batch_norm,
+                       product_pooling=bool(product_pooling),
+                       match_field=match_field, count_field=count_field)
         super().__init__(feature_map, net=net, model_id=model_id, **kwargs)
         self.compile(lr=learning_rate)
 
@@ -425,6 +463,9 @@ class _TWINNet(_LongCTRBase):
     Kc_cross_features: int = 0
     net_dropout: float = 0.0
     batch_norm: bool = False
+    product_pooling: bool = False
+    match_field: str = "item_id"
+    count_field: str = "cate_id"
 
     @nn.compact
     def __call__(self, batch, train=False):
@@ -478,8 +519,16 @@ class _TWINNet(_LongCTRBase):
         out = jnp.einsum("bhk,bhkd->bhd", attn, top_v).reshape(
             B, self.attention_dim)
         long_interest = _dense(item_dim, "W_o", use_bias=False)(out)
-        x = jnp.concatenate(
-            emb_list + [target_emb, short_interest, long_interest], axis=-1)
+        feats = emb_list + [target_emb, short_interest, long_interest]
+        if self.product_pooling:
+            # pool in ITEM space: select top-k by the head-averaged
+            # consistent retrieval score
+            sel_emb, sel_mask, _, _ = topk_gather(
+                long_seq, mask, jnp.mean(scores, axis=1), self.topk)
+            feats += self._product_pool_feats(
+                batch, target_emb, sel_emb, sel_mask, mask,
+                self.match_field, self.count_field)
+        x = jnp.concatenate(feats, axis=-1)
         y = MLP_Block(hidden_units=tuple(self.dnn_hidden_units),
                       hidden_activations=self.dnn_activations,
                       output_dim=1, dropout_rates=self.net_dropout,
@@ -498,11 +547,14 @@ class TWIN(RankModel):
                  dnn_activations="relu", attention_dropout=0.0,
                  attention_dim=64, num_heads=1, short_seq_len=50, topk=50,
                  Kc_cross_features=0, net_dropout=0.0, batch_norm=False,
-                 accumulation_steps=1, **kwargs):
+                 accumulation_steps=1, product_pooling=False,
+                 match_field="item_id", count_field="cate_id", **kwargs):
         net = _TWINNet(feature_map, embedding_dim, tuple(dnn_hidden_units),
                        dnn_activations, attention_dropout, attention_dim,
                        num_heads, short_seq_len, topk, Kc_cross_features,
-                       net_dropout, batch_norm)
+                       net_dropout, batch_norm,
+                       product_pooling=bool(product_pooling),
+                       match_field=match_field, count_field=count_field)
         super().__init__(feature_map, net=net, model_id=model_id, **kwargs)
         self.compile(lr=learning_rate)
 
@@ -525,6 +577,9 @@ class _MIRRNNet(_LongCTRBase):
     n_block: int = 4      # the reference hardcodes 4 (MIRRN.py:112-114)
     net_dropout: float = 0.0
     batch_norm: bool = False
+    product_pooling: bool = False
+    match_field: str = "item_id"
+    count_field: str = "cate_id"
 
     def _filter_layer(self, x, idx, train):
         """Frequency-domain block filter (MIRRN.py:328-368). Matches the
@@ -583,7 +638,7 @@ class _MIRRNNet(_LongCTRBase):
             emb = jnp.take_along_axis(seq, idx[..., None], axis=1)
             pos = jnp.take(pos_table, jnp.minimum(L - idx, self.max_len),
                            axis=0)
-            return emb + 0.02 * pos
+            return emb + 0.02 * pos, idx
 
         def masked_mean(x, m):
             m = m[..., None]
@@ -595,15 +650,24 @@ class _MIRRNNet(_LongCTRBase):
             retrieve(masked_mean(seq, mask)),
         ]
         interests = [self._filter_layer(v, i, train).mean(axis=1)
-                     for i, v in enumerate(views)]
+                     for i, (v, _) in enumerate(views)]
         interest_emb = jnp.stack(interests, axis=1)              # [B, 3, D]
         long_interest = MultiHeadTargetAttention(
             input_dim=item_dim, attention_dim=self.attention_dim,
             num_heads=self.num_heads, dropout_rate=self.attention_dropout,
             name="long_attention")(target_emb, interest_emb, None,
                                    train=train)
-        x = jnp.concatenate(
-            emb_list + [target_emb, short_interest, long_interest], axis=-1)
+        feats = emb_list + [target_emb, short_interest, long_interest]
+        if self.product_pooling:
+            # pool over the target-query retrieved set (raw embeddings,
+            # no positional offsets)
+            tgt_idx = views[0][1]
+            sel_emb = jnp.take_along_axis(seq, tgt_idx[..., None], axis=1)
+            sel_mask = jnp.take_along_axis(mask, tgt_idx, axis=1)
+            feats += self._product_pool_feats(
+                batch, target_emb, sel_emb, sel_mask, mask,
+                self.match_field, self.count_field)
+        x = jnp.concatenate(feats, axis=-1)
         y = MLP_Block(hidden_units=tuple(self.dnn_hidden_units),
                       hidden_activations=self.dnn_activations,
                       output_dim=1, dropout_rates=self.net_dropout,
@@ -623,10 +687,13 @@ class MIRRN(RankModel):
                  use_scale=True, attention_dropout=0.0, reuse_hash=True,
                  hash_bits=32, topk=50, max_len=1000, short_seq_len=50,
                  net_dropout=0.0, batch_norm=False, accumulation_steps=1,
-                 **kwargs):
+                 product_pooling=False, match_field="item_id",
+                 count_field="cate_id", **kwargs):
         net = _MIRRNNet(feature_map, embedding_dim, tuple(dnn_hidden_units),
                         dnn_activations, attention_dim, num_heads,
                         attention_dropout, hash_bits, topk, max_len,
-                        short_seq_len, 4, net_dropout, batch_norm)
+                        short_seq_len, 4, net_dropout, batch_norm,
+                        product_pooling=bool(product_pooling),
+                        match_field=match_field, count_field=count_field)
         super().__init__(feature_map, net=net, model_id=model_id, **kwargs)
         self.compile(lr=learning_rate)

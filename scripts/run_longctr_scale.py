@@ -40,7 +40,8 @@ def main():
                     "(category-match) search")
     ap.add_argument("--product-pooling", action="store_true",
                     help="append target*history product pooling + match "
-                    "counts to the ESU input (SIM extension)")
+                    "counts over the model's retrieved set (family-wide "
+                    "extension: SIM/ETA/SDIM/TWIN/MIRRN)")
     ap.add_argument("--no-lr-decay", action="store_true",
                     help="keep lr constant (plateau decay freezes the slow "
                     "item-embedding learning the planted signal needs)")

@@ -22,7 +22,7 @@ RANKING_EXPIDS = [
     "PPNet_test", "APG_DeepFM_test", "APG_DCNv2_test",
     "DIN_test", "DIEN_test", "BST_test", "TransAct_test", "DMIN_test",
     "DMR_test", "MMoE_test", "PLE_test", "SIM_test", "TWIN_test",
-    "ETA_test", "SDIM_test", "LongDIN_test",
+    "ETA_test", "ETA_pp_test", "TWIN_pp_test", "SDIM_test", "LongDIN_test",
     # round 2: full 67/67 smoke matrix
     "MIRRN_test", "PEPNet_test", "ShareBottom_test", "ONNv2_test",
     "LongDIEN_test", "LongDCNv2_test", "LongFinalMLP_test",

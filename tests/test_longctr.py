@@ -141,10 +141,17 @@ def test_loader_pads_last_batch(longctr_data):
                  product_pooling=True)),
     ("SIM", dict(topk=5, short_seq_len=4, product_pooling=True)),
     ("ETA", dict(topk=5, short_seq_len=4, hash_bits=8)),
+    ("ETA", dict(topk=5, short_seq_len=4, hash_bits=8,
+                 product_pooling=True)),
     ("SDIM", dict(short_seq_len=4, num_hashes=2, hash_bits=3)),
+    ("SDIM", dict(short_seq_len=4, num_hashes=2, hash_bits=3,
+                  product_pooling=True)),
     ("TWIN", dict(topk=5, short_seq_len=4)),
     ("TWIN", dict(topk=5, short_seq_len=4, Kc_cross_features=1)),
+    ("TWIN", dict(topk=5, short_seq_len=4, product_pooling=True)),
     ("MIRRN", dict(topk=5, short_seq_len=4, hash_bits=8, max_len=50)),
+    ("MIRRN", dict(topk=5, short_seq_len=4, hash_bits=8, max_len=50,
+                   product_pooling=True)),
 ])
 def test_longctr_model_trains(name, kw, longctr_data):
     fm, root = longctr_data
@@ -206,16 +213,24 @@ def test_sim_hard_gsu_ignores_nonmatching_history(longctr_data):
     assert not np.allclose(ya, yc, rtol=1e-5, atol=1e-6)
 
 
-def test_sim_product_pooling_sees_exact_repeat(longctr_data):
+@pytest.mark.parametrize("name,kw", [
+    ("SIM", dict(topk=3, gsu_type="hard")),
+    ("ETA", dict(topk=3, hash_bits=8)),
+    ("SDIM", dict(num_hashes=2, hash_bits=3)),
+    ("TWIN", dict(topk=3)),
+    ("MIRRN", dict(topk=3, hash_bits=8, max_len=50)),
+])
+def test_product_pooling_sees_exact_repeat(name, kw, longctr_data):
     """The exact-item match count must change y_pred when the target
-    appears in the (otherwise identical) history."""
+    appears in the (otherwise identical) history — family-wide
+    product_pooling extension."""
     fm, _ = longctr_data
     a = _craft_batch([5, 6, 7, 9], [3, 2, 2, 2], 3, 3)   # no repeat
     b = _craft_batch([3, 6, 7, 9], [3, 2, 2, 2], 3, 3)   # repeat at pos 0
-    model = MODEL_REGISTRY["SIM"](
-        fm, model_id="SIM_pp_repeat", embedding_dim=8, attention_dim=8,
-        dnn_hidden_units=(16,), topk=3, short_seq_len=2, gsu_type="hard",
-        product_pooling=True, model_root="/tmp/fx_longctr")
+    model = MODEL_REGISTRY[name](
+        fm, model_id=f"{name}_pp_repeat", embedding_dim=8, attention_dim=8,
+        dnn_hidden_units=(16,), short_seq_len=2,
+        product_pooling=True, model_root="/tmp/fx_longctr", **kw)
     model._example_batch = lambda batch_size=1: a
     model.init_params()
     predict = model._make_predict_step()
