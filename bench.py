@@ -120,9 +120,14 @@ def main_criteo():
 
 
 if __name__ == "__main__":
-    if "--dataset" in sys.argv and "criteo" in sys.argv:
+    import argparse
+    _ap = argparse.ArgumentParser()
+    _ap.add_argument("--dataset", default=None)
+    _ap.add_argument("--synthetic", action="store_true")
+    _args, _ = _ap.parse_known_args()
+    if _args.dataset == "criteo":
         main_criteo()
-    elif "--synthetic" in sys.argv:
+    elif _args.synthetic:
         main()
     else:
         # default: prefer the real end-to-end Criteo-scale benchmark

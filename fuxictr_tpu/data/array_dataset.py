@@ -60,8 +60,8 @@ def load_columns(feature_map, data_path):
                 flat = arr.flatten().to_numpy(zero_copy_only=False)
                 if len(lengths) and np.all(lengths == lengths[0]):
                     return flat.reshape(len(arr), int(lengths[0]))
-                out = np.zeros((len(arr), int(lengths.max() or 0)),
-                               flat.dtype)
+                max_len = int(lengths.max()) if len(lengths) else 0
+                out = np.zeros((len(arr), max_len), flat.dtype)
                 for i, (s, e) in enumerate(zip(offsets[:-1], offsets[1:])):
                     out[i, :e - s] = flat[s:e]
                 return out

@@ -125,15 +125,28 @@ class BlockStreamingDataLoader(_BaseLoader):
         self.buffer_size = max(buffer_size, batch_size)
         self._epoch = 0
         parts = expand_path(data_path)
+        if not parts:
+            raise ValueError(f"no data parts found at {data_path}")
         self.parts = [p for i, p in enumerate(parts)
                       if i % num_hosts == host_id]
-        if not self.parts:
-            raise ValueError(f"no data parts found at {data_path}")
-        self.num_blocks = len(self.parts)
-        self.num_samples = 0
-        for p in self.parts:
-            self.num_samples += self._count_rows(p)
+        self._schema_part = parts[0]    # for zero-batch templates
+        self.num_blocks = max(len(self.parts), 1)
+        self.num_samples = sum(self._count_rows(p) for p in self.parts)
         self.num_batches = int(np.ceil(self.num_samples / batch_size))
+        if num_hosts > 1:
+            # jitted steps are collective in multi-process runs: every host
+            # must run the SAME batch count or the processes deadlock. Each
+            # host counts every part (deterministic, metadata-only for
+            # parquet) and pads its local stream with zero-mask batches up
+            # to the global max (the masked loss/metrics ignore them).
+            rows_by_host = {h: 0 for h in range(num_hosts)}
+            for i, p in enumerate(parts):
+                h = i % num_hosts
+                rows_by_host[h] += (self._count_rows(p) if h != host_id
+                                    else 0)
+            rows_by_host[host_id] = self.num_samples
+            self.num_batches = max(
+                int(np.ceil(r / batch_size)) for r in rows_by_host.values())
 
     @staticmethod
     def _count_rows(path):
@@ -170,7 +183,33 @@ class BlockStreamingDataLoader(_BaseLoader):
                 submit(1)
                 yield block
 
+    def _zero_batch(self):
+        """An all-padding batch (mask 0 everywhere) matching the stream's
+        schema — emitted to keep multi-host batch counts aligned."""
+        if getattr(self, "_template", None) is None:
+            cols = load_columns(self.feature_map, self._schema_part)
+            self._template = {
+                k: np.zeros((self.batch_size,) + v.shape[1:], v.dtype)
+                for k, v in cols.items()}
+        batch = {k: np.zeros_like(v) for k, v in self._template.items()}
+        batch[SAMPLE_MASK_KEY] = np.zeros(self.batch_size, np.float32)
+        return batch
+
     def __iter__(self):
+        emitted = 0
+        for batch in self._local_iter():
+            emitted += 1
+            if getattr(self, "_template", None) is None:
+                self._template = {k: v for k, v in batch.items()
+                                  if k != SAMPLE_MASK_KEY}
+            yield batch
+        # multi-host alignment: pad the local stream to the global count
+        for _ in range(self.num_batches - emitted):
+            yield self._zero_batch()
+
+    def _local_iter(self):
+        if not self.parts:
+            return
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             self._epoch += 1

@@ -260,7 +260,8 @@ class LongCTRDeviceCacheLoader:
     def __iter__(self):
         """Per-batch fallback (steps_per_call=1): index batches over the
         resident refs, same contract as DeviceCacheDataLoader.__iter__."""
-        from fuxictr_tpu.data.device_cache import ROWS_KEY
+        from fuxictr_tpu.data.device_cache import (GROUP_KEY, LABELS_KEY,
+                                                   ROWS_KEY)
         order = np.arange(self._n_rows, dtype=np.int32)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
@@ -274,6 +275,11 @@ class LongCTRDeviceCacheLoader:
             batch = dict(self._refs)
             batch[ROWS_KEY] = idx
             batch[SAMPLE_MASK_KEY] = mask
+            # host-side label/group rides along for evaluate()'s per-batch
+            # path — same contract as DeviceCacheDataLoader.__iter__
+            batch[LABELS_KEY] = self.host_labels[np.maximum(idx, 0)]
+            if self.host_group is not None:
+                batch[GROUP_KEY] = self.host_group[np.maximum(idx, 0)]
             yield batch
 
     # --- device-cache protocol (reuses DeviceCacheDataLoader's drivers)

@@ -59,6 +59,12 @@ def run_expid(config_dir, experiment_id, result_file=None, params=None):
         from fuxictr_tpu.parallel import make_mesh
         mesh = make_mesh(n_model=int(params.get("mesh_model_axis", 1)))
         model.distribute(mesh)
+        # device-cache loaders must place their HBM blocks ON this mesh
+        # (loader.mesh is model.mesh gates the device-epoch path); for
+        # multi-host runs DeviceCacheDataLoader itself rejects the combo
+        # with a clear error instead of staging inconsistent replicas
+        if params.get("device_cache"):
+            params.setdefault("mesh", mesh)
 
     train_gen, valid_gen = RankDataLoader(
         feature_map, stage="train", **params).make_iterator()

@@ -206,13 +206,16 @@ class RankModel:
 
     def _install_cache_expander(self, loader):
         """Adopt a loader's in-jit cache expander (device-resident custom
-        layouts). Resets compiled steps if the expansion changes."""
+        layouts), or restore the default when the loader has none. Resets
+        compiled steps whenever the expansion changes."""
         fn = getattr(loader, "cache_expander", None)
-        if fn is None or fn is self._expand_batch \
-                or getattr(self, "_expander_src", None) is type(loader):
+        src = type(loader) if fn is not None else None
+        if src is getattr(self, "_expander_src", None):
             return
-        self._expander_src = type(loader)
-        self._expand_batch = fn
+        self._expander_src = src
+        self._expand_batch = (fn if fn is not None
+                              else partial(expand_cached_batch,
+                                           self.feature_map))
         self._jit_train_step = None
         self._jit_predict_step = None
         self._jit_multi_step = None
@@ -221,12 +224,28 @@ class RankModel:
 
     # --------------------------------------------------------------- setup
     def compile(self, optimizer=None, loss=None, lr=None):
-        if optimizer is not None:
+        """(Re)configure optimizer/loss/LR. Safe to call between fits: a
+        changed optimizer rebuilds the transform (and re-inits opt_state —
+        its structure differs); a changed LR is written into the LIVE
+        opt_state hyperparams (optax inject_hyperparams carries the LR in
+        state, so rebuilding the transform alone would not apply it)."""
+        if optimizer is not None and optimizer != self._optimizer_name:
             self._optimizer_name = optimizer
+            self._tx = None     # force rebuild on next fit
+            if self.state is not None:
+                self._ensure_optimizer(
+                    getattr(self, "_max_gradient_norm", None) or 10.0)
+                self.state = self.state.replace(
+                    opt_state=self._init_opt_state(self.state.params))
         if loss is not None:
             self._loss_name = loss
         if lr is not None:
             self._learning_rate = lr
+            if self.state is not None:
+                for node in self._find_hyperparam_nodes(self.state.opt_state):
+                    cur = node.hyperparams["learning_rate"]
+                    node.hyperparams["learning_rate"] = jnp.asarray(
+                        lr, dtype=jnp.asarray(cur).dtype)
 
     def _example_batch(self, batch_size=2):
         """Synth a minimal batch for parameter init (static shapes only)."""
@@ -775,6 +794,14 @@ class RankModel:
         k = int(self.kwargs.get("steps_per_call", 1) or 1)
         on_mesh = (self.mesh is not None
                    and getattr(data_generator, "mesh", None) is self.mesh)
+        if (self.mesh is not None and not on_mesh
+                and hasattr(data_generator, "cache_refs")):
+            raise ValueError(
+                "device-cache loader was staged without the model's mesh: "
+                "its HBM blocks are committed to a single device, which "
+                "cannot feed a mesh-sharded train step. Build the loader "
+                "with mesh=model.mesh (run_expid passes params['mesh'] "
+                "automatically when use_mesh/device_cache are set).")
         if (hasattr(data_generator, "epoch_chunks")
                 and (self.mesh is None or on_mesh)
                 and (k > 1 or on_mesh
