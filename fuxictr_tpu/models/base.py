@@ -916,6 +916,10 @@ class RankModel:
         flush()
 
     def eval_step(self):
+        if self.valid_gen is None:
+            # fit() without validation_data: nothing to monitor — no
+            # eval, no early stop, no best-checkpoint tracking
+            return
         logging.info("Evaluation @epoch %d - batch %d:",
                      self._epoch_index + 1, self._batch_index + 1)
         val_logs = self.evaluate(self.valid_gen,
