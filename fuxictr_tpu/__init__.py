@@ -15,7 +15,19 @@ Public surface mirrors the reference's four pillars:
   - model zoo: :mod:`fuxictr_tpu.models.zoo`
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
+
+
+def assert_version(min_version):
+    """Mirror of the reference's per-model ``fuxictr_version.py`` guard
+    (e.g. model_zoo/DeepFM/DeepFM_torch/fuxictr_version.py): user code that
+    depends on a minimum framework version calls
+    ``fuxictr_tpu.assert_version("0.3.0")``."""
+    def _key(v):
+        return tuple(int(x) for x in str(v).split("."))
+    if _key(__version__) < _key(min_version):
+        raise RuntimeError(
+            f"fuxictr_tpu>={min_version} required, found {__version__}")
 
 from fuxictr_tpu.features import FeatureMap
 from fuxictr_tpu.config import (

@@ -166,3 +166,19 @@ def grid_search(config_dir, device_slots, expid_tag=None,
                                   expid, attempt + 1)
                     failed.append(expid)
     return failed
+
+
+def main(argv=None):
+    """Console entry point (``fuxictr_tpu-tune``) — same CLI surface as the
+    reference's experiment/run_param_tuner.py:23-39."""
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--tag", type=str, default=None)
+    parser.add_argument("--slots", nargs="+", default=["0"])
+    args = parser.parse_args(argv)
+    config_dir = enumerate_params(args.config)
+    failed = grid_search(config_dir, args.slots, expid_tag=args.tag)
+    if failed:
+        raise SystemExit(f"{len(failed)} expid(s) failed after retries: "
+                         + ", ".join(failed))

@@ -92,3 +92,19 @@ def run_expid(config_dir, experiment_id, result_file=None, params=None):
     del train_gen, valid_gen
     gc.collect()
     return {"valid": valid_result, "test": test_result, "model": model}
+
+
+def main(argv=None):
+    """Console entry point (``fuxictr_tpu-run``) — same CLI surface as the
+    reference's experiment/run_expid.py:36-49 (--gpu accepted for parity;
+    devices come from JAX)."""
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="./configs/tiny")
+    parser.add_argument("--expid", type=str, default="DeepFM_test")
+    parser.add_argument("--gpu", type=int, default=-1)
+    args = parser.parse_args(argv)
+    result_file = os.path.join(
+        os.path.abspath(args.config),
+        os.path.basename(os.path.normpath(args.config)) + ".csv")
+    run_expid(args.config, args.expid, result_file=result_file)
