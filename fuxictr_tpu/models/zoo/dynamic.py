@@ -218,6 +218,9 @@ class _APGMLP(nn.Module):
             if self.dropout_rates > 0:
                 h = nn.Dropout(self.dropout_rates,
                                deterministic=not train)(h)
+        if self.output_dim is None:
+            # ref APG_MLP(output_dim=None) has no out_proj (APG.py:177-178)
+            return h
         return _dense(self.output_dim, "fc")(h)
 
 
@@ -326,7 +329,7 @@ class _APGDCNv2Net(nn.Module):
                            name="crossnet")(emb)
         deep = _APGMLP(tuple(self.parallel_dnn_hidden_units),
                        self.hidden_activations,
-                       self.parallel_dnn_hidden_units[-1],
+                       None,      # ref parallel APG_MLP has no out_proj
                        self.net_dropout, self.batch_norm,
                        self.condition_mode, None, self.rank_k,
                        self.overparam_p, self.generate_bias,
