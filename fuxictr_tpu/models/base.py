@@ -81,7 +81,8 @@ def make_loss_fn(loss):
 def _is_lazy_table_path(path):
     """Fused embedding tables eligible for lazy (touched-rows-only) adam."""
     import re
-    return bool(re.fullmatch(r"table_d\d+", str(path[-1]))) if path else False
+    return bool(re.fullmatch(r"table_d\d+(b\d+)?", str(path[-1]))) \
+        if path else False
 
 
 def make_optimizer(name, lr, max_gradient_norm=10.0, accumulation_steps=1,
@@ -178,6 +179,11 @@ class RankModel:
         self._reduce_lr_on_plateau = reduce_lr_on_plateau
         self._verbose = kwargs.get("verbose", 1)
         self._lazy_adam = bool(kwargs.get("lazy_adam", False))
+        if "table_size_buckets" in kwargs:
+            # config knob for the size-bucketed fused-table layout; carried
+            # on the FeatureMap so every FeatureEmbedding in the net sees it
+            # (ops/embedding.py:EmbeddingLayout resolution order)
+            feature_map.table_size_buckets = kwargs["table_size_buckets"]
         self._max_len = kwargs.get("max_len", 50)   # LongCTR batch layout
         self.validation_metrics = kwargs.get("metrics", ["AUC"])
         self.model_dir = os.path.join(kwargs.get("model_root", "./checkpoints"),

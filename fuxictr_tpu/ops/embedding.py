@@ -38,17 +38,49 @@ INVERSE_KEY = "__item_inverse__"
 
 
 # ------------------------------------------------------------------ layout
+# Fused tables are partitioned into SIZE BUCKETS by field vocab size.
+# Measured physics (BENCHMARKS.md "Gather/scatter cost scales with TABLE
+# SIZE"): per-row gather cost from a 2.6M-row table is ~8x the cost from a
+# 100k-row table (DMA stride), and scatter-add shows the same ~5x effect —
+# so packing small-vocab fields into the same table as multi-million-row
+# fields makes 85% of the gathered rows pay big-table prices. Bucketing by
+# vocab size (tiny <= 8k, mid <= 128k, big) cuts the Criteo-shaped
+# embedding train path 15.6 -> 7.0 ms/step (scripts/bench_table_split.py).
+DEFAULT_TABLE_SIZE_BUCKETS = (8192, 131072)
+
+
 class EmbeddingLayout:
-    """Static (host-side) description of the fused-table packing."""
+    """Static (host-side) description of the fused-table packing.
+
+    ``size_buckets``: ascending vocab-size edges partitioning each
+    dim-group into separate tables (see above). Resolution order:
+    explicit arg > ``feature_map.table_size_buckets`` (set from the model
+    config by RankModel) > module default. ``()`` disables bucketing
+    (one fused table per dim, the round-1 layout). A dim whose fields all
+    land in one bucket keeps the legacy param name ``table_d{dim}``;
+    otherwise buckets are named ``table_d{dim}b{k}`` in ascending
+    bucket order.
+    """
 
     def __init__(self, feature_map, embedding_dim, required=None,
                  not_required=None, use_pretrain=True, use_sharing=True,
-                 force_dim=None):
+                 force_dim=None, size_buckets=None):
         self.feature_map = feature_map
+        if size_buckets is None:
+            size_buckets = getattr(feature_map, "table_size_buckets", None)
+        if size_buckets is None:
+            size_buckets = DEFAULT_TABLE_SIZE_BUCKETS
+        self.size_buckets = tuple(sorted(size_buckets))
         self.fields = OrderedDict()   # name -> field plan
-        self.tables = {}              # dim -> {"rows": int}
+        self.tables = OrderedDict()   # table name -> {"rows", "dim"}
         self.numeric = {}             # dim -> [field names]
-        vocab_offset = {}             # dim -> running row count
+        vocab_offset = {}             # (dim, bucket) -> running row count
+
+        def bucket_of(vocab_size):
+            for i, edge in enumerate(self.size_buckets):
+                if vocab_size <= edge:
+                    return i
+            return len(self.size_buckets)
 
         for name, spec in feature_map.features.items():
             ftype = spec["type"]
@@ -71,26 +103,44 @@ class EmbeddingLayout:
                     if owner and owner in self.fields \
                             and "offset" in self.fields[owner]:
                         plan["offset"] = self.fields[owner]["offset"]
+                        plan["bucket"] = self.fields[owner]["bucket"]
                     else:
-                        off = vocab_offset.setdefault(dim, 0)
+                        key = (dim, bucket_of(spec["vocab_size"]))
+                        off = vocab_offset.setdefault(key, 0)
                         plan["offset"] = off
-                        vocab_offset[dim] = off + spec["vocab_size"]
+                        plan["bucket"] = key[1]
+                        vocab_offset[key] = off + spec["vocab_size"]
                 plan["padding_idx"] = spec.get("padding_idx", -1)
                 if plan["padding_idx"] is None:
                     plan["padding_idx"] = -1
             elif ftype == "embedding":
                 plan["pretrain_dim"] = spec.get("pretrain_dim", dim)
             self.fields[name] = plan
-        for dim, rows in vocab_offset.items():
-            self.tables[dim] = {"rows": rows}
+
+        # name the tables: legacy name when a dim has a single bucket
+        buckets_by_dim = {}
+        for (dim, b) in vocab_offset:
+            buckets_by_dim.setdefault(dim, []).append(b)
+        table_name = {}
+        for dim, bs in buckets_by_dim.items():
+            bs = sorted(bs)
+            for k, b in enumerate(bs):
+                name = (f"table_d{dim}" if len(bs) == 1
+                        else f"table_d{dim}b{k}")
+                table_name[(dim, b)] = name
+                self.tables[name] = {"rows": vocab_offset[(dim, b)],
+                                     "dim": dim}
+        for plan in self.fields.values():
+            if "bucket" in plan:
+                plan["table"] = table_name[(plan["dim"], plan["bucket"])]
 
     def gather_groups(self):
-        """Group fused-table scalar (categorical) fields per dim for one
+        """Group fused scalar (categorical) fields per table for one
         stacked [B, F] gather; sequence fields are gathered per-field."""
         groups = {}
         for name, plan in self.fields.items():
             if plan["type"] == "categorical" and "offset" in plan:
-                groups.setdefault(plan["dim"], []).append(name)
+                groups.setdefault(plan["table"], []).append(name)
         return groups
 
 
@@ -274,6 +324,7 @@ class FeatureEmbedding(nn.Module):
     use_sharing: bool = True
     force_dim: int = None          # e.g. 1 for LogisticRegression weights
     pool_sequences: str = None     # "sum"/"average": pool all sequence fields
+    size_buckets: Sequence[int] = None  # see EmbeddingLayout.size_buckets
 
     def setup(self):
         self.layout = EmbeddingLayout(
@@ -281,11 +332,12 @@ class FeatureEmbedding(nn.Module):
             required=self.required_feature_columns,
             not_required=self.not_required_feature_columns,
             use_pretrain=self.use_pretrain, use_sharing=self.use_sharing,
-            force_dim=self.force_dim)
+            force_dim=self.force_dim, size_buckets=self.size_buckets)
         init = get_initializer(self.embedding_initializer)
         tables = {}
-        for dim, info in self.layout.tables.items():
-            tables[dim] = self.param(f"table_d{dim}", init, (info["rows"], dim))
+        for tname, info in self.layout.tables.items():
+            tables[tname] = self.param(tname, init,
+                                       (info["rows"], info["dim"]))
         self.tables = tables
         numeric_ws = {}
         for dim, names in self.layout.numeric.items():
@@ -371,22 +423,21 @@ class FeatureEmbedding(nn.Module):
         return entry
 
     # ------------------------------------------------------------- lookups
-    def _sow_touched(self, dim, global_ids):
+    def _sow_touched(self, tname, global_ids):
         """Record which fused-table rows this step gathers (collection
         ``touched_rows``, mirroring the param tree) — consumed by the
         opt-in lazy-adam row updates in models/base.py. No-op unless the
         caller makes the collection mutable."""
-        self.sow("touched_rows", f"table_d{dim}",
-                 global_ids.reshape(-1))
+        self.sow("touched_rows", tname, global_ids.reshape(-1))
 
     def _lookup_fused(self, batch, plan, name, inv=None):
-        table = self.tables[plan["dim"]]
+        table = self.tables[plan["table"]]
         ids = jnp.asarray(batch[name]).astype(jnp.int32)
         if inv is None:
-            self._sow_touched(plan["dim"], ids + plan["offset"])
+            self._sow_touched(plan["table"], ids + plan["offset"])
             rows = table_gather(table, ids + plan["offset"])
         else:   # loader-deduped dict: ids are unique, inv expands them
-            self._sow_touched(plan["dim"], ids + plan["offset"])
+            self._sow_touched(plan["table"], ids + plan["offset"])
             rows = table_gather_expand(table, ids + plan["offset"], inv)
             ids = jnp.take(ids, inv, axis=0)
         pad = plan["padding_idx"]
@@ -436,12 +487,13 @@ class FeatureEmbedding(nn.Module):
                 continue
             if feature_type and not_in_whitelist(plan["type"], feature_type):
                 continue
-            by_dim.setdefault(plan["dim"], []).append((name, plan))
+            by_dim.setdefault(plan["table"], []).append((name, plan))
         out = {}
-        for dim, fields in by_dim.items():
+        for tname, fields in by_dim.items():
             if len(fields) < 2:
                 continue        # single field: plain fused path is enough
-            table = self.tables[dim]
+            table = self.tables[tname]
+            dim = fields[0][1]["dim"]
             ids, masks = [], []
             for name, plan in fields:
                 local = jnp.asarray(batch[name]).astype(jnp.int32)
@@ -449,12 +501,53 @@ class FeatureEmbedding(nn.Module):
                 pad = plan["padding_idx"]
                 masks.append((local != pad) if pad >= 0
                              else jnp.ones_like(local, jnp.bool_))
-            self._sow_touched(dim, jnp.stack(ids))
+            self._sow_touched(tname, jnp.stack(ids))
             emb = table_gather_expand_multi(
                 table, jnp.stack(ids), inv,
                 jnp.stack(masks))                  # [len(inv), k*dim]
             for i, (name, plan) in enumerate(fields):
                 out[name] = emb[:, i * dim:(i + 1) * dim]
+        return out
+
+    def _grouped_gather(self, batch, feature_source, feature_type):
+        """Plain (non-deduped) path: ONE stacked [B, F] gather per fused
+        table for all eligible scalar categorical fields, instead of one
+        gather per field. Combined with size-bucketed tables this is the
+        hot embedding path (scripts/bench_table_split.py)."""
+        by_table = {}
+        for name, plan in self.layout.fields.items():
+            spec = plan["spec"]
+            if (name not in batch or plan["type"] != "categorical"
+                    or "offset" not in plan or plan.get("pretrained")
+                    or name in self.encoders):
+                continue
+            if jnp.ndim(batch[name]) != 1:
+                continue
+            if feature_source and not_in_whitelist(spec.get("source"),
+                                                   feature_source):
+                continue
+            if feature_type and not_in_whitelist(plan["type"], feature_type):
+                continue
+            by_table.setdefault(plan["table"], []).append((name, plan))
+        out = {}
+        for tname, fields in by_table.items():
+            if len(fields) < 2:
+                continue        # single field: plain fused path is enough
+            table = self.tables[tname]
+            ids, masks = [], []
+            for name, plan in fields:
+                local = jnp.asarray(batch[name]).astype(jnp.int32)
+                ids.append(local + plan["offset"])
+                pad = plan["padding_idx"]
+                masks.append((local != pad) if pad >= 0
+                             else jnp.ones_like(local, jnp.bool_))
+            ids = jnp.stack(ids, axis=1)           # [B, F]
+            mask = jnp.stack(masks, axis=1)        # [B, F]
+            self._sow_touched(tname, ids)
+            emb = table_gather(table, ids)         # [B, F, D]
+            emb = emb * mask[..., None].astype(emb.dtype)
+            for i, (name, plan) in enumerate(fields):
+                out[name] = emb[:, i, :]
         return out
 
     def embedding_dict(self, batch, feature_source=(), feature_type=(),
@@ -464,10 +557,12 @@ class FeatureEmbedding(nn.Module):
         # loader-deduped dicts (data/longctr_loader.py) carry unique rows +
         # an inverse index; every field expands back to the flat layout
         inv = batch.get(INVERSE_KEY)
-        grouped = {}
         if inv is not None:
             inv = jnp.asarray(inv)
             grouped = self._grouped_expand(batch, inv, feature_source,
+                                           feature_type)
+        else:
+            grouped = self._grouped_gather(batch, feature_source,
                                            feature_type)
         for name, plan in self.layout.fields.items():
             spec = plan["spec"]

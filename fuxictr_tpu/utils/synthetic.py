@@ -27,14 +27,16 @@ def make_synthetic_feature_map(dataset_id="synthetic",
     sources = ("user", "item", "context")
     for i in range(num_numeric):
         features[f"I{i+1}"] = {"source": sources[i % 3], "type": "numeric"}
+    vocabs = (list(vocab_size) if isinstance(vocab_size, (list, tuple))
+              else [int(vocab_size)])
     for i in range(num_categorical):
         features[f"C{i+1}"] = {"source": sources[i % 3],
                                "type": "categorical",
                                "padding_idx": 0,
-                               "vocab_size": int(vocab_size)}
+                               "vocab_size": int(vocabs[i % len(vocabs)])}
     for i in range(num_sequence):
         features[f"S{i+1}"] = {"source": "user", "type": "sequence",
-                               "padding_idx": 0, "vocab_size": int(vocab_size),
+                               "padding_idx": 0, "vocab_size": int(vocabs[0]),
                                "max_len": seq_len,
                                "share_embedding": "C1" if num_categorical else None}
         if not num_categorical:
