@@ -103,7 +103,8 @@ def main_criteo():
         return
     buf = io.StringIO()
     with redirect_stdout(buf):
-        rcs.phase_train("DCNv2", epochs=1,
+        rcs.phase_train("DCNv2",
+                        epochs=int(os.environ.get("BENCH_EPOCHS", 2)),
                         loader=os.environ.get("BENCH_LOADER", "device"))
     result = {}
     for line in buf.getvalue().splitlines():
@@ -112,10 +113,14 @@ def main_criteo():
         except ValueError:
             continue
         if rec.get("phase") == "train":
-            result["value"] = rec["sustained_examples_per_s"]
+            # headline = compile-free steady state (epoch-2 window); the
+            # end-to-end rate incl. one-time compiles/staging rides along
+            result["value"] = (rec.get("steady_examples_per_s")
+                               or rec["sustained_examples_per_s"])
+            result["e2e_examples_per_s"] = rec["sustained_examples_per_s"]
         if rec.get("phase") == "eval" and rec.get("split") == "test":
             result.update(test_AUC=rec["AUC"], bayes_AUC=rec["bayes_AUC"])
-    print(json.dumps({"metric": "dcnv2_criteo_e2e_throughput",
+    print(json.dumps({"metric": "dcnv2_criteo_steady_throughput",
                       "unit": "examples/s", "vs_baseline": 1.0, **result}))
 
 

@@ -539,6 +539,7 @@ class RankModel:
                     pending_losses = []
                     pending_counts = []
                     dt = max(time.perf_counter() - window["t0"], 1e-9)
+                    self._window_rates.append(examples / dt)
                     logging.info("Train loss: %.6f (%.0f examples/s)",
                                  train_loss, examples / dt)
                     self.eval_step()
@@ -716,6 +717,9 @@ class RankModel:
     # ----------------------------------------------------------------- fit
     def fit(self, data_generator, epochs=1, validation_data=None,
             max_gradient_norm=10.0, **kwargs):
+        # examples/s of each train window (between evals) — window [-1] of a
+        # multi-epoch run is the compile-free steady state drivers report
+        self._window_rates = []
         self.valid_gen = validation_data
         self._install_cache_expander(data_generator)
         if self.state is None:
@@ -838,6 +842,7 @@ class RankModel:
                 train_loss = float(np.mean(jax.device_get(pending_losses)))
                 pending_losses = []
                 dt = max(time.perf_counter() - window_start, 1e-9)
+                self._window_rates.append(window_examples / dt)
                 logging.info("Train loss: %.6f (%.0f examples/s)",
                              train_loss, window_examples / dt)
                 self.eval_step()
@@ -912,6 +917,7 @@ class RankModel:
                 train_loss = float(np.mean(jax.device_get(pending_losses)))
                 pending_losses = []
                 dt = max(time.perf_counter() - window["t0"], 1e-9)
+                self._window_rates.append(window["examples"] / dt)
                 logging.info("Train loss: %.6f (%.0f examples/s)",
                              train_loss, window["examples"] / dt)
                 self.eval_step()

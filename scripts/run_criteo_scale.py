@@ -111,10 +111,14 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
     model.fit(train_gen, validation_data=valid_gen, epochs=epochs)
     train_s = time.time() - t0
     n_train = train_gen.num_samples * epochs
+    rates = getattr(model, "_window_rates", [])
     print(json.dumps({"phase": "train", "model": model_name,
                       "seconds": round(train_s, 1),
                       "sustained_examples_per_s":
-                          round(n_train / train_s)}), flush=True)
+                          round(n_train / train_s),
+                      # last train window = compile-free steady state
+                      "steady_examples_per_s":
+                          round(rates[-1]) if rates else None}), flush=True)
 
     for split in ("valid", "test"):
         if split == "valid":
