@@ -179,6 +179,13 @@ class RankModel:
         self._reduce_lr_on_plateau = reduce_lr_on_plateau
         self._verbose = kwargs.get("verbose", 1)
         self._lazy_adam = bool(kwargs.get("lazy_adam", False))
+        if kwargs.get("rng_impl"):
+            # 'rbg' is the TPU-native hardware generator: dropout mask cost
+            # drops ~5x vs the default threefry (0.79 -> 0.16 ms/step on the
+            # DCNv2/Criteo step, BENCHMARKS.md). Opt-in because it changes
+            # the random stream (not the reproducibility guarantee).
+            import jax
+            jax.config.update("jax_default_prng_impl", kwargs["rng_impl"])
         if "table_size_buckets" in kwargs:
             # config knob for the size-bucketed fused-table layout; carried
             # on the FeatureMap so every FeatureEmbedding in the net sees it

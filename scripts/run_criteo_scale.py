@@ -92,7 +92,8 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
         params.update(model_structure="parallel",
                       stacked_dnn_hidden_units=[1024, 512, 256],
                       parallel_dnn_hidden_units=[1024, 512, 256],
-                      num_cross_layers=4, net_dropout=0.1)
+                      num_cross_layers=4, net_dropout=0.1,
+                      rng_impl="rbg")
     set_logger(params)
     seed_everything(2019)
 

@@ -221,3 +221,32 @@ def test_longctr_device_iter_carries_labels(tmp_path):
         got.append(b[LABELS_KEY][b[SAMPLE_MASK_KEY] > 0, 0])
     np.testing.assert_array_equal(np.concatenate(got),
                                   (np.arange(n) % 2).astype(np.float32))
+
+
+def test_rng_impl_knob_switches_prng_and_resets():
+    """rng_impl: 'rbg' flips jax_default_prng_impl at model construction
+    (BENCHMARKS.md round 3: ~5x cheaper dropout masks on TPU); default
+    threefry stays untouched for stream reproducibility."""
+    import jax
+
+    from fuxictr_tpu.models.zoo.ranking import DNN
+    from fuxictr_tpu.utils.synthetic import (make_synthetic_batch,
+                                             make_synthetic_feature_map)
+
+    fm = make_synthetic_feature_map(num_categorical=2, num_numeric=1,
+                                    vocab_size=32, embedding_dim=4)
+    before = jax.config.jax_default_prng_impl
+    assert before == "threefry2x32"
+    try:
+        model = DNN(fm, model_id="rng_knob", embedding_dim=4,
+                    hidden_units=[8], net_dropout=0.1, rng_impl="rbg",
+                    model_root="/tmp/fuxictr_tpu_test")
+        assert jax.config.jax_default_prng_impl == "rbg"
+        model.init_params()
+        step = model._make_train_step()
+        batch = make_synthetic_batch(fm, batch_size=8, seed=0)
+        _, loss = step(model.state, model._place_batch(batch),
+                       jax.random.PRNGKey(0))
+        assert float(loss) == float(loss)   # finite
+    finally:
+        jax.config.update("jax_default_prng_impl", before)
