@@ -11,10 +11,12 @@ from fuxictr_tpu.ops.interactions import (InnerProductInteraction, CrossNet,
                                           CrossNetV2, CrossNetMix,
                                           CompressedInteractionNet,
                                           BilinearInteraction,
+                                          BilinearInteractionV2,
                                           HolographicInteraction,
                                           InteractionMachine,
                                           SqueezeExcitation)
 from fuxictr_tpu.ops.attention import (ScaledDotProductAttention,
                                        MultiHeadSelfAttention,
                                        MultiHeadTargetAttention,
-                                       DINAttention, TransformerEncoderLayer)
+                                       DINAttention, DIN_Attention,
+                                       TransformerEncoderLayer)

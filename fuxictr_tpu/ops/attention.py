@@ -204,3 +204,7 @@ class TransformerEncoderLayer(nn.Module):
                 h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
             x = nn.LayerNorm(epsilon=1e-5)(x + h)
         return x
+
+
+# reference export name (target_attention.py:26)
+DIN_Attention = DINAttention

@@ -245,3 +245,10 @@ class SqueezeExcitation(nn.Module):
         a = Activation(self.excitation_activation,
                        hidden_dim=self.num_fields)(a, train=train)
         return feature_emb * a[..., None]
+
+
+# API-surface aliases for reference imports (fuxictr.pytorch.layers exports
+# both names; this module implements the V2 vectorized formulation —
+# bilinear_interaction.py:23,87 — verified equivalent across all three
+# sharing modes by tests/test_reference_parity.py)
+BilinearInteractionV2 = BilinearInteraction
