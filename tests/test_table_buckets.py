@@ -177,3 +177,78 @@ def test_touched_rows_keys_follow_bucketed_names():
 def test_default_edges_are_sane():
     assert tuple(DEFAULT_TABLE_SIZE_BUCKETS) == \
         tuple(sorted(DEFAULT_TABLE_SIZE_BUCKETS))
+
+
+def test_longctr_dedup_path_across_buckets():
+    """LongCTR deduped batches: with bucketing, item_id (big vocab) and
+    cate_id (small vocab) live in DIFFERENT tables, so the grouped
+    multi-field expand degrades to per-table expands — outputs must equal
+    the single-fused-table layout with field-wise identical weights."""
+    from collections import OrderedDict
+
+    from fuxictr_tpu.data.array_dataset import SAMPLE_MASK_KEY
+    from fuxictr_tpu.data.longctr_loader import (INVERSE_KEY, ITEMS_KEY,
+                                                 SEQ_MASK_KEY)
+    from fuxictr_tpu.features import FeatureMap
+    from fuxictr_tpu.models.registry import MODEL_REGISTRY
+    import fuxictr_tpu.models.zoo  # noqa: F401
+
+    B, L, V = 4, 6, 300
+
+    def make_fm(buckets):
+        fm = FeatureMap("buckets_longctr", "")
+        fm.features = OrderedDict([
+            ("user_feat", {"source": "user", "type": "categorical",
+                           "padding_idx": 0, "vocab_size": 10}),
+            ("item_id", {"source": "item", "type": "categorical",
+                         "padding_idx": 0, "vocab_size": V}),
+            ("cate_id", {"source": "item", "type": "categorical",
+                         "padding_idx": 0, "vocab_size": 8}),
+        ])
+        fm.labels = ["clk"]
+        fm.num_fields = fm.get_num_fields()
+        fm.default_emb_dim = 8
+        fm.set_column_index()
+        fm.table_size_buckets = buckets
+        return fm
+
+    rng = np.random.default_rng(0)
+    flat = rng.integers(1, V, B * (L + 1))
+    uniq, inv = np.unique(flat, return_inverse=True)
+    ids = np.zeros(32, np.int64)
+    ids[:len(uniq)] = uniq
+    batch = {
+        "user_feat": rng.integers(1, 10, B).astype(np.int64),
+        SEQ_MASK_KEY: np.ones((B, L), np.float32),
+        "clk": rng.integers(0, 2, B).astype(np.float32),
+        SAMPLE_MASK_KEY: np.ones(B, np.float32),
+        ITEMS_KEY: {"item_id": ids, "cate_id": (ids % 7 + 1) * (ids > 0),
+                    INVERSE_KEY: inv.astype(np.int32)},
+    }
+
+    def predict(buckets, emb_params=None):
+        fm = make_fm(buckets)
+        model = MODEL_REGISTRY["SIM"](
+            fm, model_id="SIM_buckets", embedding_dim=8, attention_dim=8,
+            dnn_hidden_units=(16,), topk=3, short_seq_len=2,
+            model_root="/tmp/fuxictr_tpu_test")
+        model._example_batch = lambda batch_size=2: batch
+        model.init_params()
+        lay = EmbeddingLayout(fm, 8)
+        params = model.state.params
+        if emb_params is not None:
+            src_params, src_lay = emb_params
+            emb = _repack(fm, src_params, src_lay, lay,
+                          dict(params["embedding"]))
+            params = dict(params)
+            params["embedding"] = emb
+            model.state = model.state.replace(params=params)
+        y = model._make_predict_step()(model.state, jax.device_put(batch))
+        return (np.asarray(y),
+                {k: v for k, v in model.state.params["embedding"].items()},
+                lay)
+
+    y_b, emb_b, lay_b = predict((64,))        # item/user split from cate
+    assert sum(k.startswith("table_d") for k in emb_b) == 2
+    y_f, _, _ = predict((), emb_params=(emb_b, lay_b))
+    np.testing.assert_allclose(y_b, y_f, rtol=2e-5, atol=2e-5)
