@@ -69,6 +69,14 @@ def export_model(model, export_dir, params=None, include_processor=True):
     clean = {k: v for k, v in params.items()
              if k not in _TRAINING_ONLY and _jsonable(v)}
     clean["model"] = params.get("model", type(model).__name__)
+    # pin the EFFECTIVE table layout so the bundle stays loadable even if
+    # the library's default size-bucket edges change in a later version
+    # (param names/shapes depend on it — ops/embedding.py EmbeddingLayout)
+    from fuxictr_tpu.ops.embedding import DEFAULT_TABLE_SIZE_BUCKETS
+    clean.setdefault(
+        "table_size_buckets",
+        list(getattr(fm, "table_size_buckets", None)
+             or DEFAULT_TABLE_SIZE_BUCKETS))
     meta = {"model": clean["model"], "params": clean,
             "fuxictr_tpu_version": fuxictr_tpu.__version__,
             "dataset_id": fm.dataset_id,
