@@ -134,14 +134,6 @@ class EmbeddingLayout:
             if "bucket" in plan:
                 plan["table"] = table_name[(plan["dim"], plan["bucket"])]
 
-    def gather_groups(self):
-        """Group fused scalar (categorical) fields per table for one
-        stacked [B, F] gather; sequence fields are gathered per-field."""
-        groups = {}
-        for name, plan in self.fields.items():
-            if plan["type"] == "categorical" and "offset" in plan:
-                groups.setdefault(plan["table"], []).append(name)
-        return groups
 
 
 # ------------------------------------------------------ encoder mini-parser
@@ -471,29 +463,30 @@ class FeatureEmbedding(nn.Module):
             out = out * (ids != pad)[..., None].astype(out.dtype)
         return out
 
-    def _grouped_expand(self, batch, inv, feature_source, feature_type):
-        """Deduped dicts: expand all plain fused-categorical fields of a
-        dim through ONE table_gather_expand_multi call (row-count-bound op
-        — k fields for the price of one; see the op's docstring)."""
-        by_dim = {}
+    def _groupable_fields(self, batch, feature_source, feature_type):
+        """Plain fused scalar categorical fields eligible for a stacked
+        per-table op, grouped by table name, with their global ids and
+        padding masks pre-built. Shared by the deduped and plain grouped
+        lookup paths so both always select the same field set."""
+        by_table = {}
         for name, plan in self.layout.fields.items():
             spec = plan["spec"]
             if (name not in batch or plan["type"] != "categorical"
                     or "offset" not in plan or plan.get("pretrained")
                     or name in self.encoders):
                 continue
+            if jnp.ndim(batch[name]) != 1:
+                continue        # scalar fields only (sequences go per-field)
             if feature_source and not_in_whitelist(spec.get("source"),
                                                    feature_source):
                 continue
             if feature_type and not_in_whitelist(plan["type"], feature_type):
                 continue
-            by_dim.setdefault(plan["table"], []).append((name, plan))
-        out = {}
-        for tname, fields in by_dim.items():
+            by_table.setdefault(plan["table"], []).append((name, plan))
+        groups = {}
+        for tname, fields in by_table.items():
             if len(fields) < 2:
                 continue        # single field: plain fused path is enough
-            table = self.tables[tname]
-            dim = fields[0][1]["dim"]
             ids, masks = [], []
             for name, plan in fields:
                 local = jnp.asarray(batch[name]).astype(jnp.int32)
@@ -501,6 +494,18 @@ class FeatureEmbedding(nn.Module):
                 pad = plan["padding_idx"]
                 masks.append((local != pad) if pad >= 0
                              else jnp.ones_like(local, jnp.bool_))
+            groups[tname] = (fields, ids, masks)
+        return groups
+
+    def _grouped_expand(self, batch, inv, feature_source, feature_type):
+        """Deduped dicts: expand all plain fused-categorical fields of a
+        table through ONE table_gather_expand_multi call (row-count-bound
+        op — k fields for the price of one; see the op's docstring)."""
+        out = {}
+        for tname, (fields, ids, masks) in self._groupable_fields(
+                batch, feature_source, feature_type).items():
+            table = self.tables[tname]
+            dim = fields[0][1]["dim"]
             self._sow_touched(tname, jnp.stack(ids))
             emb = table_gather_expand_multi(
                 table, jnp.stack(ids), inv,
@@ -514,33 +519,10 @@ class FeatureEmbedding(nn.Module):
         table for all eligible scalar categorical fields, instead of one
         gather per field. Combined with size-bucketed tables this is the
         hot embedding path (scripts/bench_table_split.py)."""
-        by_table = {}
-        for name, plan in self.layout.fields.items():
-            spec = plan["spec"]
-            if (name not in batch or plan["type"] != "categorical"
-                    or "offset" not in plan or plan.get("pretrained")
-                    or name in self.encoders):
-                continue
-            if jnp.ndim(batch[name]) != 1:
-                continue
-            if feature_source and not_in_whitelist(spec.get("source"),
-                                                   feature_source):
-                continue
-            if feature_type and not_in_whitelist(plan["type"], feature_type):
-                continue
-            by_table.setdefault(plan["table"], []).append((name, plan))
         out = {}
-        for tname, fields in by_table.items():
-            if len(fields) < 2:
-                continue        # single field: plain fused path is enough
+        for tname, (fields, ids, masks) in self._groupable_fields(
+                batch, feature_source, feature_type).items():
             table = self.tables[tname]
-            ids, masks = [], []
-            for name, plan in fields:
-                local = jnp.asarray(batch[name]).astype(jnp.int32)
-                ids.append(local + plan["offset"])
-                pad = plan["padding_idx"]
-                masks.append((local != pad) if pad >= 0
-                             else jnp.ones_like(local, jnp.bool_))
             ids = jnp.stack(ids, axis=1)           # [B, F]
             mask = jnp.stack(masks, axis=1)        # [B, F]
             self._sow_touched(tname, ids)

@@ -27,7 +27,7 @@ _TRAINING_ONLY = {
     "save_best_only", "reduce_lr_on_plateau", "streaming", "num_workers",
     "device_cache", "use_mesh", "mesh_model_axis", "steps_per_call",
     "hbm_limit_gb", "verbose", "debug_mode", "partition_block_size",
-    "feature_cols", "label_col", "min_categr_count",
+    "feature_cols", "label_col", "min_categr_count", "rng_impl",
 }
 
 
@@ -73,10 +73,10 @@ def export_model(model, export_dir, params=None, include_processor=True):
     # the library's default size-bucket edges change in a later version
     # (param names/shapes depend on it — ops/embedding.py EmbeddingLayout)
     from fuxictr_tpu.ops.embedding import DEFAULT_TABLE_SIZE_BUCKETS
-    clean.setdefault(
-        "table_size_buckets",
-        list(getattr(fm, "table_size_buckets", None)
-             or DEFAULT_TABLE_SIZE_BUCKETS))
+    effective = getattr(fm, "table_size_buckets", None)
+    if effective is None:           # () / [] mean "explicitly disabled"
+        effective = DEFAULT_TABLE_SIZE_BUCKETS
+    clean.setdefault("table_size_buckets", list(effective))
     meta = {"model": clean["model"], "params": clean,
             "fuxictr_tpu_version": fuxictr_tpu.__version__,
             "dataset_id": fm.dataset_id,

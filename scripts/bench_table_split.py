@@ -98,7 +98,6 @@ def run(name, buckets, ids_by_bucket):
 def main():
     rng = np.random.default_rng(0)
     vocabs = list(VOCABS)
-    order = np.argsort(vocabs)[::-1]  # big first, stable field identity
     all_ids = make_ids(rng, vocabs)
 
     def bucketize(edges):

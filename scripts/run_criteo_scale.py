@@ -117,9 +117,11 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
                       "seconds": round(train_s, 1),
                       "sustained_examples_per_s":
                           round(n_train / train_s),
-                      # last train window = compile-free steady state
+                      # last train window = compile-free steady state; only
+                      # meaningful when an earlier window absorbed compiles
                       "steady_examples_per_s":
-                          round(rates[-1]) if rates else None}), flush=True)
+                          round(rates[-1]) if len(rates) >= 2 else None}),
+          flush=True)
 
     for split in ("valid", "test"):
         if split == "valid":

@@ -111,3 +111,37 @@ def test_online_encoding_parity(tmp_path):
     probs = pred.predict_raw(raw)
     assert probs.shape == (20,)
     assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_export_pins_disabled_bucketing(tmp_path):
+    """A model trained with table_size_buckets=() must export a bundle
+    whose meta records [] (NOT the library default edges), so the
+    Predictor rebuilds the same single-table layout and the weights
+    restore (code-review finding, round 3)."""
+    import json
+
+    from fuxictr_tpu.models.zoo.ranking import DNN
+    from fuxictr_tpu.serving import Predictor, export_model
+    from fuxictr_tpu.utils.synthetic import (make_synthetic_batch,
+                                             make_synthetic_feature_map)
+
+    # vocab 9000 would split under the default edges (8192, 131072)
+    fm = make_synthetic_feature_map(num_categorical=2, num_numeric=1,
+                                    vocab_size=[9000, 40], embedding_dim=4)
+    model = DNN(fm, model_id="nobuckets", embedding_dim=4, hidden_units=[8],
+                table_size_buckets=(), model_root=str(tmp_path))
+    model.init_params()
+    assert "table_d4" in model.state.params["embedding"]
+
+    bundle = export_model(model, str(tmp_path / "bundle"),
+                          params=dict(model="DNN", embedding_dim=4,
+                                      hidden_units=[8]))
+    meta = json.load(open(os.path.join(bundle, "model_meta.json")))
+    assert meta["params"]["table_size_buckets"] == []
+
+    pred = Predictor(bundle, batch_buckets=(4,))
+    batch = make_synthetic_batch(fm, batch_size=4, seed=0)
+    y_direct = np.asarray(
+        model._make_predict_step()(model.state, batch)).reshape(-1)
+    y_served = np.asarray(pred.predict(batch)).reshape(-1)
+    np.testing.assert_allclose(y_served, y_direct, rtol=1e-5, atol=1e-5)
