@@ -15,7 +15,7 @@ Public surface mirrors the reference's four pillars:
   - model zoo: :mod:`fuxictr_tpu.models.zoo`
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 
 def assert_version(min_version):
