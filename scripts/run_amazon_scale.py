@@ -97,10 +97,13 @@ def phase_train(epochs=1, batch_size=2048, steps_per_call=None,
     t0 = time.time()
     model.fit(train_gen, validation_data=valid_gen, epochs=epochs)
     train_s = time.time() - t0
+    rates = getattr(model, "_window_rates", [])
     print(json.dumps({"phase": "train", "model": "DIN",
                       "seconds": round(train_s, 1),
                       "sustained_examples_per_s":
-                          round(train_gen.num_samples * epochs / train_s)}),
+                          round(train_gen.num_samples * epochs / train_s),
+                      "steady_examples_per_s":
+                          round(rates[-1]) if len(rates) >= 2 else None}),
           flush=True)
 
     for split in ("valid", "test"):
