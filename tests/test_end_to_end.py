@@ -19,6 +19,7 @@ RANKING_EXPIDS = [
     "AOANet_test", "DLRM_test", "DSSM_test", "FLEN_test", "FinalMLP_test",
     "FinalNet_test", "EulerNet_test", "WuKong_test", "QNN_test",
     "GDCN_test", "GDCNP_test", "EDCN_test", "CCPM_test", "FiBiNET_test",
+    "DCNv3_test", "DCNv3_ecn_test",
     "PPNet_test", "APG_DeepFM_test", "APG_DCNv2_test",
     "DIN_test", "DIEN_test", "BST_test", "TransAct_test", "DMIN_test",
     "DMR_test", "MMoE_test", "PLE_test", "SIM_test", "TWIN_test",
