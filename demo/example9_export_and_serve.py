@@ -66,4 +66,12 @@ if __name__ == "__main__":
     logging.info("Served %d rows -> probabilities %s", len(df),
                  np.round(probs, 4))
     assert probs.shape == (10,) and np.all((probs >= 0) & (probs <= 1))
+
+    # ---- int8-quantized serving (4x smaller tables) ----------------------
+    pred_q = Predictor(bundle, batch_buckets=(1, 8, 64), aot=False,
+                       quantize="int8")
+    probs_q = pred_q.predict(request)
+    logging.info("int8-quantized serve, max |dp| = %.5f",
+                 float(np.max(np.abs(probs_q - probs))))
+    assert np.allclose(probs_q, probs, atol=0.02)
     logging.info("example9 OK")

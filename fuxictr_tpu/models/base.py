@@ -191,6 +191,10 @@ class RankModel:
             # on the FeatureMap so every FeatureEmbedding in the net sees it
             # (ops/embedding.py:EmbeddingLayout resolution order)
             feature_map.table_size_buckets = kwargs["table_size_buckets"]
+        if "table_dtype" in kwargs:
+            # serving-only quantized table storage (ops/embedding.py);
+            # fit() rejects it — see the guard there
+            feature_map.table_dtype = kwargs["table_dtype"]
         self._max_len = kwargs.get("max_len", 50)   # LongCTR batch layout
         self.validation_metrics = kwargs.get("metrics", ["AUC"])
         self.model_dir = os.path.join(kwargs.get("model_root", "./checkpoints"),
@@ -573,9 +577,13 @@ class RankModel:
                 apply_params = params
                 if compute_dtype is not None:
                     # mixed precision: bf16 compute, f32 master params/grads
-                    # (v5e MXU is bf16-native; f32 matmul is emulated)
+                    # (v5e MXU is bf16-native; f32 matmul is emulated).
+                    # Float leaves only: integer leaves (int8 quantized
+                    # tables) must reach the gather untouched.
                     apply_params = jax.tree_util.tree_map(
-                        lambda x: x.astype(compute_dtype), params)
+                        lambda x: (x.astype(compute_dtype)
+                                   if jnp.issubdtype(x.dtype, jnp.floating)
+                                   else x), params)
                 mutable = list(state.model_state.keys()) or ["batch_stats"]
                 if lazy:
                     mutable = mutable + ["touched_rows"]
@@ -661,7 +669,9 @@ class RankModel:
             params = state.params
             if compute_dtype is not None:
                 params = jax.tree_util.tree_map(
-                    lambda x: x.astype(compute_dtype), params)
+                    lambda x: (x.astype(compute_dtype)
+                               if jnp.issubdtype(x.dtype, jnp.floating)
+                               else x), params)
             outputs = net.apply({"params": params, **state.model_state},
                                 batch, train=False)
             return act(outputs["y_pred"].astype(jnp.float32))
@@ -727,6 +737,12 @@ class RankModel:
         # examples/s of each train window (between evals) — window [-1] of a
         # multi-epoch run is the compile-free steady state drivers report
         self._window_rates = []
+        if getattr(self.feature_map, "table_dtype", None) not in (
+                None, "float32", "fp32") or self.kwargs.get("table_dtype") \
+                not in (None, "float32", "fp32"):
+            raise NotImplementedError(
+                "quantized tables (table_dtype) are serving-only: train in "
+                "float32, then serve with Predictor(quantize='int8')")
         self.valid_gen = validation_data
         self._install_cache_expander(data_generator)
         if self.state is None:

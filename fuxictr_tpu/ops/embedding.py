@@ -317,6 +317,11 @@ class FeatureEmbedding(nn.Module):
     force_dim: int = None          # e.g. 1 for LogisticRegression weights
     pool_sequences: str = None     # "sum"/"average": pool all sequence fields
     size_buckets: Sequence[int] = None  # see EmbeddingLayout.size_buckets
+    table_dtype: str = None        # "int8": serving-only quantized tables
+    #   (per-row symmetric scales; gather int8 rows + [*, 1] scales, multiply
+    #   after the gather — 4x less HBM and 4x fewer gather bytes, the
+    #   byte-proportional cost measured in BENCHMARKS.md round 1). Resolution
+    #   order mirrors size_buckets: explicit attr > feature_map.table_dtype.
 
     def setup(self):
         self.layout = EmbeddingLayout(
@@ -326,11 +331,27 @@ class FeatureEmbedding(nn.Module):
             use_pretrain=self.use_pretrain, use_sharing=self.use_sharing,
             force_dim=self.force_dim, size_buckets=self.size_buckets)
         init = get_initializer(self.embedding_initializer)
+        tdt = self.table_dtype or getattr(self.feature_map,
+                                          "table_dtype", None)
+        if tdt not in (None, "float32", "fp32", "int8"):
+            raise NotImplementedError(
+                f"table_dtype={tdt} is not supported (int8 only)")
+        self.quantized = tdt == "int8"
         tables = {}
+        scales = {}
         for tname, info in self.layout.tables.items():
-            tables[tname] = self.param(tname, init,
-                                       (info["rows"], info["dim"]))
+            if self.quantized:
+                tables[tname] = self.param(
+                    tname, lambda key, shape: jnp.zeros(shape, jnp.int8),
+                    (info["rows"], info["dim"]))
+                scales[tname] = self.param(
+                    tname + "_scale", jax.nn.initializers.ones,
+                    (info["rows"], 1))
+            else:
+                tables[tname] = self.param(tname, init,
+                                           (info["rows"], info["dim"]))
         self.tables = tables
+        self.table_scales = scales
         numeric_ws = {}
         for dim, names in self.layout.numeric.items():
             # per-field Linear(1, dim) weights, xavier-normal over fan (1, dim)
@@ -425,12 +446,19 @@ class FeatureEmbedding(nn.Module):
     def _lookup_fused(self, batch, plan, name, inv=None):
         table = self.tables[plan["table"]]
         ids = jnp.asarray(batch[name]).astype(jnp.int32)
+        gids = ids + plan["offset"]
+        self._sow_touched(plan["table"], gids)
         if inv is None:
-            self._sow_touched(plan["table"], ids + plan["offset"])
-            rows = table_gather(table, ids + plan["offset"])
+            rows = table_gather(table, gids)
+            if self.quantized:
+                sc = table_gather(self.table_scales[plan["table"]], gids)
+                rows = rows.astype(sc.dtype) * sc
         else:   # loader-deduped dict: ids are unique, inv expands them
-            self._sow_touched(plan["table"], ids + plan["offset"])
-            rows = table_gather_expand(table, ids + plan["offset"], inv)
+            rows = table_gather_expand(table, gids, inv)
+            if self.quantized:
+                sc = table_gather_expand(
+                    self.table_scales[plan["table"]], gids, inv)
+                rows = rows.astype(sc.dtype) * sc
             ids = jnp.take(ids, inv, axis=0)
         pad = plan["padding_idx"]
         if pad >= 0:
@@ -506,12 +534,19 @@ class FeatureEmbedding(nn.Module):
                 batch, feature_source, feature_type).items():
             table = self.tables[tname]
             dim = fields[0][1]["dim"]
-            self._sow_touched(tname, jnp.stack(ids))
+            ids_stack, mask_stack = jnp.stack(ids), jnp.stack(masks)
+            self._sow_touched(tname, ids_stack)
             emb = table_gather_expand_multi(
-                table, jnp.stack(ids), inv,
-                jnp.stack(masks))                  # [len(inv), k*dim]
+                table, ids_stack, inv, mask_stack)  # [len(inv), k*dim]
+            sc = None
+            if self.quantized:
+                sc = table_gather_expand_multi(
+                    self.table_scales[tname], ids_stack, inv,
+                    mask_stack)                     # [len(inv), k*1]
+                emb = emb.astype(sc.dtype)
             for i, (name, plan) in enumerate(fields):
-                out[name] = emb[:, i * dim:(i + 1) * dim]
+                col = emb[:, i * dim:(i + 1) * dim]
+                out[name] = col if sc is None else col * sc[:, i:i + 1]
         return out
 
     def _grouped_gather(self, batch, feature_source, feature_type):
@@ -527,6 +562,9 @@ class FeatureEmbedding(nn.Module):
             mask = jnp.stack(masks, axis=1)        # [B, F]
             self._sow_touched(tname, ids)
             emb = table_gather(table, ids)         # [B, F, D]
+            if self.quantized:
+                sc = table_gather(self.table_scales[tname], ids)  # [B, F, 1]
+                emb = emb.astype(sc.dtype) * sc
             emb = emb * mask[..., None].astype(emb.dtype)
             for i, (name, plan) in enumerate(fields):
                 out[name] = emb[:, i, :]

@@ -12,9 +12,16 @@ training script). This subsystem is new TPU-first architecture:
   predict functions at fixed batch buckets (static shapes — no retraces
   at serve time) and an online raw-features → encoded-ids path that is
   byte-identical to the offline pipeline (same Tokenizer/Normalizer).
+- :class:`PredictionServer` (serving/server.py) exposes a Predictor over
+  HTTP (stdlib-only): POST /predict with encoded or raw rows, /healthz,
+  /info. CLI: ``python -m fuxictr_tpu.serving.server --bundle DIR``.
+- ``serving/quantize.py``: opt-in int8 embedding-table quantization
+  (per-row symmetric scales) at export or load time — ~4x smaller tables
+  with measured-negligible AUC cost (BENCHMARKS.md round 3).
 """
 
 from fuxictr_tpu.serving.export import export_model
 from fuxictr_tpu.serving.predictor import Predictor
+from fuxictr_tpu.serving.server import PredictionServer
 
-__all__ = ["export_model", "Predictor"]
+__all__ = ["export_model", "Predictor", "PredictionServer"]

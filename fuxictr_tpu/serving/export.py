@@ -39,7 +39,8 @@ def _jsonable(value):
         return False
 
 
-def export_model(model, export_dir, params=None, include_processor=True):
+def export_model(model, export_dir, params=None, include_processor=True,
+                 quantize=None):
     """Write a serving bundle for a trained model.
 
     Args:
@@ -50,6 +51,11 @@ def export_model(model, export_dir, params=None, include_processor=True):
         include_processor: copy feature_processor.pkl / feature_vocab.json
             from the dataset dir when present, enabling online raw-feature
             encoding at serve time.
+        quantize: "int8" stores the fused embedding tables quantized
+            (per-row symmetric int8 + f32 scales, serving/quantize.py) —
+            a ~4x smaller bundle that the Predictor loads directly. The
+            alternative is a float bundle + ``Predictor(quantize="int8")``
+            (quantizes at load).
     Returns the export_dir.
     """
     if model.state is None:
@@ -77,6 +83,11 @@ def export_model(model, export_dir, params=None, include_processor=True):
     if effective is None:           # () / [] mean "explicitly disabled"
         effective = DEFAULT_TABLE_SIZE_BUCKETS
     clean.setdefault("table_size_buckets", list(effective))
+    if quantize:
+        if quantize != "int8":
+            raise NotImplementedError(
+                f"quantize={quantize} is not supported (int8 only)")
+        clean["table_dtype"] = "int8"
     meta = {"model": clean["model"], "params": clean,
             "fuxictr_tpu_version": fuxictr_tpu.__version__,
             "dataset_id": fm.dataset_id,
@@ -85,9 +96,12 @@ def export_model(model, export_dir, params=None, include_processor=True):
         json.dump(meta, fd, indent=2, sort_keys=True)
 
     import jax
-    blob = flax.serialization.msgpack_serialize(
-        jax.device_get({"params": model.state.params,
-                        "model_state": model.state.model_state}))
+    weights = jax.device_get({"params": model.state.params,
+                              "model_state": model.state.model_state})
+    if quantize:
+        from fuxictr_tpu.serving.quantize import quantize_table_leaves
+        weights["params"] = quantize_table_leaves(weights["params"])
+    blob = flax.serialization.msgpack_serialize(weights)
     with open(os.path.join(export_dir, "weights.msgpack"), "wb") as fd:
         fd.write(blob)
 

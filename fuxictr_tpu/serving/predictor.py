@@ -46,7 +46,7 @@ class Predictor:
     """
 
     def __init__(self, export_dir, batch_buckets=(1, 8, 64, 512), aot=True,
-                 **param_overrides):
+                 quantize=None, **param_overrides):
         self.export_dir = export_dir
         self.batch_buckets = tuple(sorted(batch_buckets))
         with open(os.path.join(export_dir, "model_meta.json")) as fd:
@@ -55,6 +55,15 @@ class Predictor:
         params = dict(meta["params"])
         params.update(param_overrides)
         params.setdefault("model_root", os.path.join(export_dir, "_serve"))
+        if quantize:
+            if params.get("table_dtype") == quantize:
+                quantize = None     # bundle is already quantized (export-
+                                    # time quantize): plain restore below
+            else:
+                # float bundle: int8 tables + per-row scales built here at
+                # load time (serving/quantize.py)
+                params["table_dtype"] = quantize
+        self.quantize = quantize
 
         self.feature_map = FeatureMap(
             meta.get("dataset_id", params.get("dataset_id", "serving")),
@@ -70,9 +79,15 @@ class Predictor:
             blob = flax.serialization.msgpack_restore(fd.read())
         import jax
         state = self.model.state
+        if self.quantize:
+            from fuxictr_tpu.serving.quantize import quantize_param_tree
+            new_params = quantize_param_tree(
+                blob["params"], jax.device_get(state.params))
+        else:
+            new_params = flax.serialization.from_state_dict(
+                jax.device_get(state.params), blob["params"])
         self.model.state = state.replace(
-            params=flax.serialization.from_state_dict(
-                jax.device_get(state.params), blob["params"]),
+            params=new_params,
             model_state=flax.serialization.from_state_dict(
                 jax.device_get(state.model_state), blob["model_state"]))
         # stage weights once; serve-time calls only move the request batch

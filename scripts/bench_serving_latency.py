@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--vocab", type=int, default=100000)
     ap.add_argument("--emb_dim", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quantize", default=None, choices=[None, "int8"],
+                    help="serve int8 tables + per-row scales "
+                    "(serving/quantize.py)")
     args = ap.parse_args()
 
     import jax
@@ -61,10 +64,15 @@ def main():
         include_processor=False)
 
     t0 = time.perf_counter()
-    pred = Predictor(bundle, batch_buckets=buckets, aot=True)
+    pred = Predictor(bundle, batch_buckets=buckets, aot=True,
+                     quantize=args.quantize)
     aot_s = time.perf_counter() - t0
     print(f"# bundle load + AOT compile of {len(buckets)} buckets: "
           f"{aot_s:.1f}s")
+    from fuxictr_tpu.serving.quantize import table_bytes
+    tb = table_bytes(pred.model.state.params)
+    print(f"# table storage ({args.quantize or 'float32'}): "
+          f"{tb / 1e6:.1f} MB")
 
     results = []
     for b in buckets:
@@ -94,6 +102,8 @@ def main():
         results.append(rec)
         print(json.dumps(rec))
     print(json.dumps({"metric": "serving_latency",
+                      "table_dtype": args.quantize or "float32",
+                      "table_mb": round(tb / 1e6, 1),
                       "aot_compile_s": round(aot_s, 1),
                       "buckets": results}))
 

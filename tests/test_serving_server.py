@@ -1,0 +1,117 @@
+"""HTTP model server (serving/server.py): endpoint behavior, encoded and
+raw prediction parity with the Predictor, error handling."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.test_serving import DATA_DIR, _train_tiny
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from fuxictr_tpu.serving import (PredictionServer, Predictor,
+                                     export_model)
+    tmp_path = tmp_path_factory.mktemp("server")
+    model, fm = _train_tiny(tmp_path)
+    bundle = export_model(model, str(tmp_path / "bundle"),
+                          params=dict(model="DeepFM", embedding_dim=4,
+                                      hidden_units=[16, 8]))
+    pred = Predictor(bundle, batch_buckets=(1, 8, 64), aot=False)
+    server = PredictionServer(pred, host="127.0.0.1", port=0)
+    server.start_background()
+    yield server, pred
+    server.shutdown()
+
+
+def _call(port, path, payload=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    if payload is None:
+        req = urllib.request.Request(url)
+    else:
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def test_healthz_and_info(served):
+    server, pred = served
+    code, body = _call(server.port, "/healthz")
+    assert code == 200 and body["status"] == "ok"
+    code, body = _call(server.port, "/info")
+    assert code == 200 and body["model"] == "DeepFM"
+    code, body = _call(server.port, "/nope")
+    assert code == 404
+
+
+def test_predict_rows_and_columns_match_predictor(served):
+    server, pred = served
+    df = pd.read_parquet(f"{DATA_DIR}/train.parquet").head(5)
+    feat_cols = [c for c in df.columns if c != "label"]
+    cols = {c: df[c].to_numpy().tolist() for c in feat_cols}
+    want = pred.predict({c: np.asarray(v) for c, v in cols.items()})
+
+    code, body = _call(server.port, "/predict", {"columns": cols})
+    assert code == 200 and body["n"] == 5
+    np.testing.assert_allclose(body["probabilities"], want, rtol=1e-6)
+    assert body["latency_ms"] > 0
+
+    rows = [{c: cols[c][i] for c in cols} for i in range(5)]
+    code, body = _call(server.port, "/predict", {"rows": rows})
+    assert code == 200
+    np.testing.assert_allclose(body["probabilities"], want, rtol=1e-6)
+
+
+def test_predict_raw_roundtrip(tmp_path):
+    """Server "raw": true routes untokenized csv rows through the bundle's
+    offline processor artifacts and matches Predictor.predict_raw."""
+    from fuxictr_tpu.config import load_config
+    from fuxictr_tpu.experiment import run_expid
+    from fuxictr_tpu.serving import (PredictionServer, Predictor,
+                                     export_model)
+
+    params = load_config("./configs/tiny", "DeepFM_csv_test")
+    params["model_root"] = str(tmp_path / "ckpt")
+    params["data_root"] = str(tmp_path / "data")
+    params["epochs"] = 1
+    model = run_expid("./configs/tiny", "DeepFM_csv_test",
+                      params=params)["model"]
+    bundle = export_model(model, str(tmp_path / "bundle"), params=params)
+    pred = Predictor(bundle, batch_buckets=(8,), aot=False)
+    server = PredictionServer(pred, host="127.0.0.1", port=0)
+    server.start_background()
+    try:
+        raw = pd.read_csv(
+            "/root/reference/data/tiny_csv/train_sample.csv").head(3)
+        feat_cols = [c for c in raw.columns if c != "label"]
+        rows = [{c: (v.item() if hasattr(v, "item") else v)
+                 for c in feat_cols for v in [raw[c].iloc[i]]}
+                for i in range(3)]
+        code, body = _call(server.port, "/predict",
+                           {"rows": rows, "raw": True})
+        assert code == 200 and len(body["probabilities"]) == 3
+        want = pred.predict_raw({c: raw[c].to_numpy() for c in feat_cols})
+        np.testing.assert_allclose(body["probabilities"], want, rtol=1e-5,
+                                   atol=1e-6)
+    finally:
+        server.shutdown()
+
+
+def test_bad_requests(served):
+    server, _ = served
+    code, body = _call(server.port, "/predict", {})
+    assert code == 400 and "rows" in body["error"]
+    code, body = _call(server.port, "/predict",
+                       {"columns": {"a": [1, 2], "b": [1]}})
+    assert code == 400 and "ragged" in body["error"]
+    code, body = _call(server.port, "/predict",
+                       {"rows": []})
+    assert code == 400
