@@ -21,6 +21,7 @@ TPU-native differences:
 import logging
 import os
 import pickle
+import shutil
 import time
 from functools import partial
 
@@ -737,6 +738,7 @@ class RankModel:
         # examples/s of each train window (between evals) — window [-1] of a
         # multi-epoch run is the compile-free steady state drivers report
         self._window_rates = []
+        self._evals_done = 0
         if getattr(self.feature_map, "table_dtype", None) not in (
                 None, "float32", "fp32") or self.kwargs.get("table_dtype") \
                 not in (None, "float32", "fp32"):
@@ -797,6 +799,7 @@ class RankModel:
                 break
             logging.info("************ Epoch=%d end ************", epoch + 1)
         logging.info("Training finished.")
+        self._finish_periodic_checkpoint()
         if os.path.exists(self.checkpoint):
             logging.info("Load best model: %s", self.checkpoint)
             self.load_weights(self.checkpoint)
@@ -951,6 +954,7 @@ class RankModel:
         flush()
 
     def eval_step(self):
+        self._maybe_periodic_checkpoint()
         if self.valid_gen is None:
             # fit() without validation_data: nothing to monitor — no
             # eval, no early stop, no best-checkpoint tracking
@@ -960,6 +964,64 @@ class RankModel:
         val_logs = self.evaluate(self.valid_gen,
                                  metrics=self._monitor.get_metrics())
         self.checkpoint_and_earlystop(val_logs)
+
+    # ----------------------------------------------- periodic checkpoints
+    # Fault tolerance for long runs (no reference equivalent — the
+    # reference only writes best-model weights, rank_model.py:272-298):
+    # ``periodic_ckpt: N`` saves the FULL train state every N eval
+    # boundaries into <model_dir>/<model_id>_ckpt/step_<total_steps> via
+    # orbax WITHOUT blocking the train loop (the save runs in orbax's
+    # background thread; sharded arrays are written shard-by-shard on the
+    # multi-chip path). ``periodic_ckpt_keep`` (default 2) newest steps
+    # are retained. Resume: load_checkpoint(latest_checkpoint(dir),
+    # use_orbax=True) then fit() — opt_state/step are honored.
+    @property
+    def periodic_ckpt_dir(self):
+        return os.path.join(self.model_dir, f"{self.model_id}_ckpt")
+
+    @staticmethod
+    def latest_checkpoint(ckpt_dir):
+        """Newest step_<N> orbax checkpoint under a periodic-ckpt dir."""
+        if not os.path.isdir(ckpt_dir):
+            return None
+        steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+        if not steps:
+            return None
+        return os.path.join(
+            ckpt_dir, max(steps, key=lambda d: int(d.split("_")[1])))
+
+    def _maybe_periodic_checkpoint(self):
+        every = int(self.kwargs.get("periodic_ckpt", 0) or 0)
+        if every <= 0:
+            return
+        self._evals_done = getattr(self, "_evals_done", 0) + 1
+        if self._evals_done % every:
+            return
+        import orbax.checkpoint as ocp
+        if getattr(self, "_periodic_ckptr", None) is None:
+            self._periodic_ckptr = ocp.StandardCheckpointer()
+        ckptr = self._periodic_ckptr
+        # one in-flight save at a time: wait for the previous (normally
+        # long finished — an eval interval passed), then prune old steps
+        ckptr.wait_until_finished()
+        keep = int(self.kwargs.get("periodic_ckpt_keep", 2) or 2)
+        root = self.periodic_ckpt_dir
+        if os.path.isdir(root):
+            steps = sorted((d for d in os.listdir(root)
+                            if d.startswith("step_")),
+                           key=lambda d: int(d.split("_")[1]))
+            for stale in steps[:max(len(steps) - (keep - 1), 0)]:
+                shutil.rmtree(os.path.join(root, stale),
+                              ignore_errors=True)
+        path = os.path.abspath(os.path.join(root,
+                                            f"step_{self._total_steps}"))
+        ckptr.save(path, self.state, force=True)   # async: returns at once
+        logging.info("Periodic checkpoint (async): %s", path)
+
+    def _finish_periodic_checkpoint(self):
+        ckptr = getattr(self, "_periodic_ckptr", None)
+        if ckptr is not None:
+            ckptr.wait_until_finished()
 
     def checkpoint_and_earlystop(self, logs, min_delta=1e-6):
         monitor_value = self._monitor.get_value(logs)

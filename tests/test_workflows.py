@@ -271,3 +271,51 @@ def test_profiler_trace(tmp_path):
                      recursive=True) or \
         glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
                   recursive=True)
+
+
+def test_periodic_async_checkpoints(tmp_path):
+    """periodic_ckpt: N writes full-state orbax checkpoints every N eval
+    boundaries without blocking, rotates to periodic_ckpt_keep newest,
+    and the latest one resumes through fit() exactly."""
+    from fuxictr_tpu.models.zoo.ranking import DNN
+    from fuxictr_tpu.utils.synthetic import (make_synthetic_batch,
+                                             make_synthetic_feature_map)
+    import jax
+    fm = make_synthetic_feature_map(num_categorical=3, num_numeric=1,
+                                    vocab_size=20, embedding_dim=4)
+    batches = [make_synthetic_batch(fm, 16, seed=s) for s in range(6)]
+
+    def fresh(root, **kw):
+        return DNN(fm, embedding_dim=4, hidden_units=(8,),
+                   model_root=str(tmp_path / root),
+                   reduce_lr_on_plateau=False, **kw)
+
+    m = fresh("periodic", periodic_ckpt=1, periodic_ckpt_keep=2,
+              eval_steps=2)
+    # no validation: periodic ckpts fire on eval boundaries regardless,
+    # and fit() does not end by reloading "best" weights (which would
+    # make the parity comparison below depend on which eval won)
+    m.fit(batches, epochs=1)                          # 6 steps → 3 evals
+    m._finish_periodic_checkpoint()
+    root = m.periodic_ckpt_dir
+    steps = sorted(int(d.split("_")[1]) for d in os.listdir(root)
+                   if d.startswith("step_"))
+    assert len(steps) == 2, steps            # rotated: keep 2 newest
+    assert steps[-1] == 6
+    latest = m.latest_checkpoint(root)
+    assert latest.endswith("step_6")
+
+    # the saved state resumes through fit() and matches uninterrupted
+    m_ref = fresh("uninterrupted", eval_steps=2)
+    m_ref.fit(batches + batches[:2], epochs=1)
+
+    m2 = fresh("resumed", eval_steps=2)
+    m2.load_checkpoint(latest, use_orbax=True)
+    assert int(m2.state.step) == 6
+    m2.fit(batches[:2], epochs=1)
+    assert int(m2.state.step) == 8
+    for a, b in zip(jax.tree_util.tree_leaves(
+                        jax.device_get(m_ref.state.params)),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(m2.state.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
