@@ -193,3 +193,76 @@ class NDCG:
         idcg = self.dcg_score(y_true, y_true)
         dcg = self.dcg_score(y_true, y_pred)
         return dcg / (idcg + 1e-12)
+
+
+# --------------------------------------------------------------- on-device
+# Exact AUC/logloss computed ON the accelerator (SURVEY §7.1 "streaming
+# AUC on device"): evaluation of a device-cached split never downloads the
+# prediction vector — only a handful of scalars cross the wire. AUC is the
+# Mann-Whitney U with average ranks over ties, which equals sklearn's
+# trapezoidal roc_auc_score EXACTLY (same equivalence the grouped pass
+# above uses). The positive-rank sum is accumulated as 8 disjoint 4-bit
+# integer parts so every partial sum stays exactly representable in int32
+# (no f32 reduction error; exact up to ~140M rows), and the final
+# combination happens on host in Python integers.
+
+_RANK_PART_BITS = 4
+_RANK_PARTS = 8
+
+
+def device_metric_components(scores, labels, mask):
+    """Jittable: (f32 scores, f32 0/1 labels, bool mask) → exact-AUC parts.
+
+    Returns (P, N, rank_parts[8], logloss_sum) device scalars; combine with
+    :func:`finish_device_metrics`. Padded rows (mask False) cannot affect
+    real ranks: their scores are replaced by +inf, which sorts after every
+    finite prediction.
+    """
+    import jax.numpy as jnp
+    scores = scores.astype(jnp.float32).reshape(-1)
+    labels = labels.astype(jnp.float32).reshape(-1)
+    mask = mask.reshape(-1)
+    s = jnp.where(mask, scores, jnp.inf)
+    srt = jnp.sort(s)
+    left = jnp.searchsorted(srt, scores, side="left").astype(jnp.int32)
+    right = jnp.searchsorted(srt, scores, side="right").astype(jnp.int32)
+    rank2 = left + right + 1          # 2x the 1-based average rank
+    pos = mask & (labels > 0.5)
+    P = jnp.sum(pos.astype(jnp.int32))
+    N = jnp.sum((mask & (labels <= 0.5)).astype(jnp.int32))
+    limit = (1 << _RANK_PART_BITS) - 1
+    parts = jnp.stack([
+        jnp.sum(jnp.where(pos, (rank2 >> (_RANK_PART_BITS * k)) & limit, 0),
+                dtype=jnp.int32)
+        for k in range(_RANK_PARTS)])
+    # logloss with sklearn's clipping semantics: predictions are clipped
+    # to [eps64, 1-eps64] (log_loss's eps="auto" on float64 input, which
+    # is what the host path feeds it). log1p keeps the 1-p leg accurate
+    # in f32; exact 1.0s (saturated sigmoids) take the clipped constant.
+    eps64 = float(np.finfo(np.float64).eps)
+    log_eps = float(np.log(eps64))
+    logp = jnp.log(jnp.clip(scores, eps64, None))
+    log1mp = jnp.where(scores >= 1.0, log_eps, jnp.log1p(-scores))
+    ll = -(labels * logp + (1.0 - labels) * log1mp)
+    ll_sum = jnp.sum(jnp.where(mask, ll, 0.0), dtype=jnp.float32)
+    return P, N, parts, ll_sum
+
+
+def finish_device_metrics(components, metrics):
+    """Host-side exact combination of :func:`device_metric_components`."""
+    P, N, parts, ll_sum = components
+    P, N = int(P), int(N)
+    ranksum2 = sum(int(p) << (_RANK_PART_BITS * k)
+                   for k, p in enumerate(np.asarray(parts)))
+    out = OrderedDict()
+    for metric in metrics:
+        if metric == "AUC":
+            if P == 0 or N == 0:
+                raise ValueError(
+                    "Only one class present; AUC is undefined.")
+            out[metric] = (ranksum2 / 2.0 - P * (P + 1) / 2.0) / (P * N)
+        elif metric in ("logloss", "binary_crossentropy"):
+            out[metric] = float(ll_sum) / max(P + N, 1)
+        else:
+            raise ValueError(f"metric={metric} has no device path.")
+    return out

@@ -217,6 +217,8 @@ class RankModel:
         self._jit_multi_step = None
         self._jit_cached_epoch = None
         self._jit_cached_predict = None
+        self._jit_cached_eval = None
+        self._jit_metric_components = None
         # in-jit batch expansion for device-cache loaders; loaders with a
         # custom on-device layout (e.g. LongCTRDeviceCacheLoader) install
         # their own expander via _install_cache_expander
@@ -239,6 +241,8 @@ class RankModel:
         self._jit_multi_step = None
         self._jit_cached_epoch = None
         self._jit_cached_predict = None
+        self._jit_cached_eval = None
+        self._jit_metric_components = None
 
     # --------------------------------------------------------------- setup
     def compile(self, optimizer=None, loss=None, lr=None):
@@ -384,6 +388,8 @@ class RankModel:
         self._jit_multi_step = None
         self._jit_cached_epoch = None
         self._jit_cached_predict = None
+        self._jit_cached_eval = None
+        self._jit_metric_components = None
 
     def _place_batch(self, batch):
         return shard_batch(self.mesh, batch) if self.mesh is not None else batch
@@ -703,6 +709,70 @@ class RankModel:
             return ys
 
         return run
+
+    def _make_cached_eval(self, batch_size):
+        """Like :meth:`_make_cached_predict` but also returns each row's
+        label (sliced from the device cache's float block) and validity
+        mask — the building block of fully on-device evaluation."""
+        from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
+                                                   cache_layout)
+        body = self._predict_body()
+        B = int(batch_size)
+        label = self.feature_map.labels[0]
+        layout, _, _ = cache_layout(self.feature_map)
+        _, lab_lo, _, _ = layout[label]
+
+        @partial(jax.jit, static_argnums=(4,))
+        def run(state, cache, n_valid, start, chunk):
+            def scan_body(_, j):
+                idx = start + j * B + jnp.arange(B, dtype=jnp.int32)
+                valid = idx < n_valid
+                safe = jnp.where(valid, idx, 0)
+                batch = dict(cache)
+                batch[ROWS_KEY] = safe
+                batch[SAMPLE_MASK_KEY] = valid.astype(jnp.float32)
+                y = body(state, batch).reshape(-1)
+                lab = cache[CACHE_FLOAT_KEY][safe, lab_lo]
+                return None, (y, lab, valid)
+
+            _, (ys, labs, valids) = jax.lax.scan(scan_body, None,
+                                                 jnp.arange(chunk))
+            return ys.reshape(-1), labs.reshape(-1), valids.reshape(-1)
+
+        return run
+
+    def _device_eval(self, loader, metrics, chunk_size=32):
+        """Evaluate a device-cached split WITHOUT downloading predictions:
+        the forward passes, the exact tie-averaged AUC rank statistics, and
+        the logloss sum all run on the accelerator; only a few integer
+        scalars cross the wire (metrics.py:device_metric_components —
+        sklearn-exact AUC, SURVEY §7.1 'streaming AUC on device')."""
+        from fuxictr_tpu.metrics import (device_metric_components,
+                                         finish_device_metrics)
+        if not isinstance(self._jit_cached_eval, dict):
+            self._jit_cached_eval = {}
+        B = loader.batch_size
+        if B not in self._jit_cached_eval:
+            self._jit_cached_eval[B] = self._make_cached_eval(B)
+        eval_fn = self._jit_cached_eval[B]
+        if self._jit_metric_components is None:
+            self._jit_metric_components = jax.jit(device_metric_components)
+        ys, labs, valids = [], [], []
+        for cache, num_batches, n_valid, _base in loader.eval_chunks():
+            done = 0
+            while done < num_batches:
+                chunk = int(min(chunk_size, num_batches - done))
+                y, lab, valid = eval_fn(
+                    self.state, cache, jnp.asarray(n_valid, jnp.int32),
+                    jnp.asarray(done * B, jnp.int32), chunk)
+                ys.append(y)
+                labs.append(lab)
+                valids.append(valid)
+                done += chunk
+        comps = self._jit_metric_components(
+            jnp.concatenate(ys), jnp.concatenate(labs),
+            jnp.concatenate(valids))
+        return finish_device_metrics(jax.device_get(comps), metrics)
 
     def _cached_predictions(self, loader, chunk_size=32):
         """All predictions for a device-cache loader in natural row order
@@ -1138,6 +1208,20 @@ class RankModel:
                 and hasattr(data_generator, "cache_refs")
                 and (self.mesh is None
                      or getattr(data_generator, "mesh", None) is self.mesh)):
+            want = list(metrics or self.validation_metrics)
+            if (self.kwargs.get("device_metrics", True)
+                    and self.mesh is None
+                    and self.task == "binary_classification"
+                    and len(self.feature_map.labels) == 1
+                    and getattr(self, "_expander_src", None) is None
+                    and set(want) <= {"AUC", "logloss",
+                                      "binary_crossentropy"}):
+                # fully on-device path: predictions never leave the chip
+                # (metrics.py:device_metric_components, sklearn-exact AUC)
+                val_logs = self._device_eval(data_generator, want)
+                logging.info("[Metrics] " + " - ".join(
+                    f"{k}: {v:.6f}" for k, v in val_logs.items()))
+                return val_logs
             # device-cache loader: scanned on-device batches, labels host-side
             y_pred, rows = self._cached_predictions(data_generator)
             y_true = data_generator.host_labels[rows, 0]

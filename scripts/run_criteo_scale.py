@@ -59,7 +59,7 @@ def phase_build():
 
 def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
                 steps_per_call=None, compute_dtype="bfloat16",
-                loader="streaming"):
+                loader="streaming", learning_rate=1e-3):
     if steps_per_call is None:
         # device-cache epochs run on device; bigger chunks amortize the
         # per-dispatch tunnel latency further
@@ -83,7 +83,7 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=8192,
         train_data=f"{DATA_ROOT}/{DATASET_ID}/train/",
         valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
         test_data=f"{DATA_ROOT}/{DATASET_ID}/test/",
-        embedding_dim=16, learning_rate=1e-3,
+        embedding_dim=16, learning_rate=learning_rate,
         net_regularizer=None, embedding_regularizer=None,
         steps_per_call=steps_per_call, compute_dtype=compute_dtype,
         monitor="AUC", metrics=["AUC", "logloss"],
@@ -166,6 +166,7 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="DCNv2")
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--loader", default="streaming",
                     choices=["streaming", "memory", "device"])
     args = ap.parse_args()
@@ -173,4 +174,5 @@ if __name__ == "__main__":
         phase_build()
     if args.phase in ("train", "all"):
         phase_train(args.model, epochs=args.epochs,
-                    batch_size=args.batch_size, loader=args.loader)
+                    batch_size=args.batch_size, loader=args.loader,
+                    learning_rate=args.lr)

@@ -362,3 +362,58 @@ def test_eval_steps_rederived_per_fit(tmp_path):
     assert model._eval_steps == 13
     model.fit(small, validation_data=ev, epochs=1)
     assert model._eval_steps == 4
+
+
+def test_device_metrics_exact_vs_host():
+    """The fully on-device eval (predictions never downloaded; exact
+    integer-rank AUC) equals the host sklearn path bit-for-bit on AUC and
+    to f32-reduction tolerance on logloss."""
+    from fuxictr_tpu.models import get_model, seed_everything
+    fm, params = _tiny_feature_map()
+    seed_everything(2019)
+    cache = DeviceCacheDataLoader(fm, params["train_data"], batch_size=16,
+                                  shuffle=False)
+
+    def build(**kw):
+        m = get_model("DNN")(fm, model_id="devmet", embedding_dim=4,
+                             hidden_units=[8], batch_size=16,
+                             model_root="/tmp/devmet", **kw)
+        seed_everything(7)
+        m.init_params()
+        return m
+
+    host = build(device_metrics=False).evaluate(
+        cache, metrics=["AUC", "logloss"])
+    dev = build().evaluate(cache, metrics=["AUC", "logloss"])
+    assert abs(host["AUC"] - dev["AUC"]) < 1e-12
+    assert abs(host["logloss"] - dev["logloss"]) < 2e-6
+
+
+def test_device_metrics_components_sklearn_parity():
+    """device_metric_components: exact tie-averaged AUC + clipped logloss
+    vs sklearn, under heavy ties, masking, and saturated predictions."""
+    import jax
+    import jax.numpy as jnp
+    from sklearn.metrics import log_loss, roc_auc_score
+    from fuxictr_tpu.metrics import (device_metric_components,
+                                     finish_device_metrics)
+    rng = np.random.default_rng(3)
+    n = 50000
+    s = np.round(rng.random(n), 2).astype(np.float32)   # heavy ties
+    s[:10] = 0.0                                        # saturated
+    s[10:20] = 1.0
+    y = (rng.random(n) < 0.25).astype(np.float32)
+    m = rng.random(n) < 0.8
+    comps = jax.jit(device_metric_components)(
+        jnp.asarray(s), jnp.asarray(y), jnp.asarray(m))
+    out = finish_device_metrics(jax.device_get(comps), ["AUC", "logloss"])
+    assert abs(out["AUC"] - roc_auc_score(y[m], s[m].astype(np.float64))) \
+        < 1e-12
+    assert abs(out["logloss"]
+               - log_loss(y[m], s[m].astype(np.float64))) < 2e-6
+    # single-class guard matches the host path's failure mode
+    with pytest.raises(ValueError):
+        finish_device_metrics(
+            jax.device_get(jax.jit(device_metric_components)(
+                jnp.asarray(s), jnp.ones(n, np.float32),
+                jnp.asarray(m))), ["AUC"])
