@@ -208,6 +208,11 @@ class NDCG:
 
 _RANK_PART_BITS = 4
 _RANK_PARTS = 8
+# each 4-bit part sums at most 15 per positive row into an int32: the
+# accumulation is exact iff positives <= (2^31-1)/15 (~143M). Callers gate
+# on TOTAL valid rows (>= positives) against this bound and fall back to
+# the host metrics path beyond it (ADVICE r3: silent wrap otherwise).
+DEVICE_METRIC_EXACT_ROWS = (2 ** 31 - 1) // ((1 << _RANK_PART_BITS) - 1)
 
 
 def device_metric_components(scores, labels, mask):

@@ -40,9 +40,17 @@ from fuxictr_tpu.parallel import (param_sharding, replicated, shard_batch,
                                   shard_params)
 
 
-def seed_everything(seed=2019):
+def seed_everything(seed=2019, impl=None):
+    """Seed numpy and build the model's root PRNG key.
+
+    ``impl`` selects the key's PRNG implementation (e.g. ``'rbg'``, the
+    TPU-native hardware generator) for THIS key lineage only — split keys
+    inherit it — without mutating the process-global
+    ``jax_default_prng_impl`` (which would silently switch every other
+    model's random streams)."""
     np.random.seed(seed)
-    return jax.random.PRNGKey(seed)
+    return jax.random.PRNGKey(seed, impl=impl) if impl \
+        else jax.random.PRNGKey(seed)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -180,13 +188,13 @@ class RankModel:
         self._reduce_lr_on_plateau = reduce_lr_on_plateau
         self._verbose = kwargs.get("verbose", 1)
         self._lazy_adam = bool(kwargs.get("lazy_adam", False))
-        if kwargs.get("rng_impl"):
-            # 'rbg' is the TPU-native hardware generator: dropout mask cost
-            # drops ~5x vs the default threefry (0.79 -> 0.16 ms/step on the
-            # DCNv2/Criteo step, BENCHMARKS.md). Opt-in because it changes
-            # the random stream (not the reproducibility guarantee).
-            import jax
-            jax.config.update("jax_default_prng_impl", kwargs["rng_impl"])
+        # 'rbg' is the TPU-native hardware generator: dropout mask cost
+        # drops ~5x vs the default threefry (0.79 -> 0.16 ms/step on the
+        # DCNv2/Criteo step, BENCHMARKS.md). Opt-in because it changes
+        # the random stream (not the reproducibility guarantee). Scoped to
+        # this model's key lineage via seed_everything(impl=...) — NOT the
+        # process-global jax_default_prng_impl.
+        self._rng_impl = kwargs.get("rng_impl") or None
         if "table_size_buckets" in kwargs:
             # config knob for the size-bucketed fused-table layout; carried
             # on the FeatureMap so every FeatureEmbedding in the net sees it
@@ -208,7 +216,8 @@ class RankModel:
         self._learning_rate = kwargs.get("learning_rate", 1e-3)
         self.state = None
         self.mesh = None
-        self._rng = seed_everything(kwargs.get("seed", 2019))
+        self._rng = seed_everything(kwargs.get("seed", 2019),
+                                    impl=self._rng_impl)
         cd = kwargs.get("compute_dtype")
         self._compute_dtype = None if cd in (None, "float32", "fp32") \
             else jnp.dtype(cd)
@@ -412,7 +421,19 @@ class RankModel:
                 self._emb_prefix_cache = tuple(
                     tuple(p.split("/")) for p, m in mods.items()
                     if p and isinstance(m, FeatureEmbedding))
-            except Exception:
+            except Exception as exc:
+                if list(self._emb_reg) != list(self._net_reg):
+                    # the split CHANGES the loss here; a silent name-prefix
+                    # guess could regularize embeddings as net params (the
+                    # reference draws this split by module type,
+                    # rank_model.py:106-112) — refuse instead
+                    raise RuntimeError(
+                        "could not trace the net's module paths to locate "
+                        "FeatureEmbedding params, and embedding_regularizer "
+                        "differs from net_regularizer — the reg split "
+                        "cannot be applied reliably. Make the net abstractly "
+                        "traceable (module_paths must work on the example "
+                        f"batch). Tracing error: {exc!r}") from exc
                 self._emb_prefix_cache = None
         return self._emb_prefix_cache
 
@@ -834,7 +855,12 @@ class RankModel:
         self._stopping_steps = 0
         self._stop_training = False
         self._steps_per_epoch = len(data_generator)
-        self._total_steps = 0
+        # resume flow (load_checkpoint(latest_checkpoint(...)) then fit())
+        # must continue periodic-ckpt numbering from the restored optimizer
+        # step — restarting at step_1 would make rotation keep deleting the
+        # fresh checkpoints while latest_checkpoint() returns the stale
+        # pre-crash state
+        self._total_steps = int(jax.device_get(self.state.step))
         self._batch_index = 0
         self._epoch_index = 0
         # per-fit: a None eval_steps means "once per epoch" of THIS
@@ -1050,15 +1076,27 @@ class RankModel:
         return os.path.join(self.model_dir, f"{self.model_id}_ckpt")
 
     @staticmethod
+    def _list_step_dirs(ckpt_dir):
+        """Completed step_<N> checkpoint dirs, sorted by N ascending.
+
+        Matches exactly ``step_<digits>`` — orbax async saves stage into
+        ``step_<N>.orbax-checkpoint-tmp-<ts>`` siblings, and a crash mid-save
+        (the very scenario periodic checkpoints exist for) leaves those
+        behind; they must never be parsed as resumable steps."""
+        import re
+        if not os.path.isdir(ckpt_dir):
+            return []
+        steps = [d for d in os.listdir(ckpt_dir)
+                 if re.fullmatch(r"step_(\d+)", d)]
+        return sorted(steps, key=lambda d: int(d.split("_")[1]))
+
+    @staticmethod
     def latest_checkpoint(ckpt_dir):
         """Newest step_<N> orbax checkpoint under a periodic-ckpt dir."""
-        if not os.path.isdir(ckpt_dir):
-            return None
-        steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+        steps = RankModel._list_step_dirs(ckpt_dir)
         if not steps:
             return None
-        return os.path.join(
-            ckpt_dir, max(steps, key=lambda d: int(d.split("_")[1])))
+        return os.path.join(ckpt_dir, steps[-1])
 
     def _maybe_periodic_checkpoint(self):
         every = int(self.kwargs.get("periodic_ckpt", 0) or 0)
@@ -1077,12 +1115,15 @@ class RankModel:
         keep = int(self.kwargs.get("periodic_ckpt_keep", 2) or 2)
         root = self.periodic_ckpt_dir
         if os.path.isdir(root):
-            steps = sorted((d for d in os.listdir(root)
-                            if d.startswith("step_")),
-                           key=lambda d: int(d.split("_")[1]))
+            steps = self._list_step_dirs(root)
             for stale in steps[:max(len(steps) - (keep - 1), 0)]:
                 shutil.rmtree(os.path.join(root, stale),
                               ignore_errors=True)
+            # sweep crashed-save debris so it can't pile up forever
+            for tmp in os.listdir(root):
+                if ".orbax-checkpoint-tmp-" in tmp:
+                    shutil.rmtree(os.path.join(root, tmp),
+                                  ignore_errors=True)
         path = os.path.abspath(os.path.join(root,
                                             f"step_{self._total_steps}"))
         ckptr.save(path, self.state, force=True)   # async: returns at once
@@ -1209,11 +1250,14 @@ class RankModel:
                 and (self.mesh is None
                      or getattr(data_generator, "mesh", None) is self.mesh)):
             want = list(metrics or self.validation_metrics)
+            from fuxictr_tpu.metrics import DEVICE_METRIC_EXACT_ROWS
             if (self.kwargs.get("device_metrics", True)
                     and self.mesh is None
                     and self.task == "binary_classification"
                     and len(self.feature_map.labels) == 1
                     and getattr(self, "_expander_src", None) is None
+                    and int(getattr(data_generator, "num_samples", 0))
+                    <= DEVICE_METRIC_EXACT_ROWS
                     and set(want) <= {"AUC", "logloss",
                                       "binary_crossentropy"}):
                 # fully on-device path: predictions never leave the chip

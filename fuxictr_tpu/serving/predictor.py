@@ -55,6 +55,12 @@ class Predictor:
         params = dict(meta["params"])
         params.update(param_overrides)
         params.setdefault("model_root", os.path.join(export_dir, "_serve"))
+        # bundles exported before 0.4.0 carry no table-layout pin; they were
+        # built with the legacy single-table-per-dim layout (`()` disables
+        # size bucketing) — defaulting to the CURRENT bucketed layout would
+        # mismatch the saved param names/offsets. export.py pins the layout
+        # explicitly for every new bundle. (docs/SERVING.md "Migration")
+        params.setdefault("table_size_buckets", [])
         if quantize:
             if params.get("table_dtype") == quantize:
                 quantize = None     # bundle is already quantized (export-
