@@ -38,6 +38,7 @@ from fuxictr_tpu.metrics import evaluate_metrics
 from fuxictr_tpu.ops.common import get_regularizer
 from fuxictr_tpu.parallel import (param_sharding, replicated, shard_batch,
                                   shard_params)
+from fuxictr_tpu.utils.compile_cache import timed_first_dispatch
 
 
 def seed_everything(seed=2019, impl=None):
@@ -49,8 +50,12 @@ def seed_everything(seed=2019, impl=None):
     ``jax_default_prng_impl`` (which would silently switch every other
     model's random streams)."""
     np.random.seed(seed)
-    return jax.random.PRNGKey(seed, impl=impl) if impl \
-        else jax.random.PRNGKey(seed)
+    if impl:
+        # typed key: carries its impl in the dtype, so split/fold_in keep
+        # using it (a raw PRNGKey array would be re-interpreted under the
+        # process default impl downstream)
+        return jax.random.key(seed, impl=impl)
+    return jax.random.PRNGKey(seed)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -218,6 +223,13 @@ class RankModel:
         self.mesh = None
         self._rng = seed_everything(kwargs.get("seed", 2019),
                                     impl=self._rng_impl)
+        if kwargs.get("compile_cache", True):
+            # persistent XLA compile cache: identical programs compile once
+            # per machine, not once per process (utils/compile_cache.py) —
+            # collapses the epoch-1 / tuner / serving-restart compile tax
+            from fuxictr_tpu.utils.compile_cache import \
+                enable_compilation_cache
+            enable_compilation_cache(kwargs.get("compile_cache_dir"))
         cd = kwargs.get("compute_dtype")
         self._compute_dtype = None if cd in (None, "float32", "fp32") \
             else jnp.dtype(cd)
@@ -318,9 +330,19 @@ class RankModel:
         if self.state is not None:
             return
         self._rng, init_rng = jax.random.split(self._rng)
-        variables = self.net.init(
-            {"params": init_rng, "dropout": init_rng},
-            self._example_batch(), train=False)
+        example = self._example_batch()
+        try:
+            # one fused init program instead of op-by-op eager dispatch
+            # (minutes of per-op round trips on a remote backend) — and it
+            # lands in the persistent compile cache like any other program
+            init_fn = timed_first_dispatch(
+                jax.jit(partial(self.net.init, train=False)), "init")
+            variables = init_fn({"params": init_rng, "dropout": init_rng},
+                                example)
+        except Exception:
+            variables = self.net.init(
+                {"params": init_rng, "dropout": init_rng},
+                example, train=False)
         params = variables["params"]
         # "touched_rows" is a per-step trace (lazy adam), not model state
         model_state = {k: v for k, v in variables.items()
@@ -461,7 +483,9 @@ class RankModel:
 
     # --------------------------------------------------------------- steps
     def _make_train_step(self):
-        return partial(jax.jit, donate_argnums=(0,))(self._train_step_body())
+        return timed_first_dispatch(
+            partial(jax.jit, donate_argnums=(0,))(self._train_step_body()),
+            "train_step")
 
     def _make_multi_step(self):
         """One jitted call that scans ``steps_per_call`` train steps over a
@@ -491,7 +515,7 @@ class RankModel:
             state, losses = jax.lax.scan(body, state, (xs, rngs))
             return state, jnp.mean(losses)
 
-        return multi_step
+        return timed_first_dispatch(multi_step, "multi_step")
 
     def _make_cached_epoch_step(self, batch_size):
         """Jitted runner for ``chunk`` consecutive train steps whose batches
@@ -530,7 +554,7 @@ class RankModel:
                 scan_body, state, (jnp.arange(chunk), rngs))
             return state, jnp.mean(losses), jnp.sum(counts)
 
-        return run
+        return timed_first_dispatch(run, "cached_epoch")
 
     def _train_epoch_device(self, loader, k):
         """Epoch driver for device-cache loaders (single-device path): the
@@ -774,7 +798,8 @@ class RankModel:
             self._jit_cached_eval = {}
         B = loader.batch_size
         if B not in self._jit_cached_eval:
-            self._jit_cached_eval[B] = self._make_cached_eval(B)
+            self._jit_cached_eval[B] = timed_first_dispatch(
+                self._make_cached_eval(B), "cached_eval")
         eval_fn = self._jit_cached_eval[B]
         if self._jit_metric_components is None:
             self._jit_metric_components = jax.jit(device_metric_components)
@@ -805,7 +830,8 @@ class RankModel:
             self._jit_cached_predict = {}
         B = loader.batch_size
         if B not in self._jit_cached_predict:
-            self._jit_cached_predict[B] = self._make_cached_predict(B)
+            self._jit_cached_predict[B] = timed_first_dispatch(
+                self._make_cached_predict(B), "cached_predict")
         predict_fn = self._jit_cached_predict[B]
         rows_parts = []
         parts = []
@@ -1219,7 +1245,8 @@ class RankModel:
                         if data_generator.host_group is not None else None)
             return y_pred, mask, group_id
         if self._jit_predict_step is None:
-            self._jit_predict_step = self._make_predict_step()
+            self._jit_predict_step = timed_first_dispatch(
+                self._make_predict_step(), "predict_step")
         preds, masks, groups = [], [], []
         for batch in data_generator:
             y = self._jit_predict_step(self.state, self._place_batch(batch))
@@ -1238,7 +1265,8 @@ class RankModel:
         y_pred_parts, y_true_parts, masks, groups = [], [], [], []
         self._install_cache_expander(data_generator)
         if self._jit_predict_step is None:
-            self._jit_predict_step = self._make_predict_step()
+            self._jit_predict_step = timed_first_dispatch(
+                self._make_predict_step(), "predict_step")
         # multi-host: every process holds a local shard of each batch; the
         # prediction comes back as a global array, and host-side arrays
         # (mask/labels/groups) are gathered in the same data-axis order so

@@ -86,9 +86,13 @@ def test_rng_impl_scoped_not_global():
                                     vocab_size=16, embedding_dim=4)
     m = _dnn(fm, "/tmp/rng_scope_test", rng_impl="rbg")
     assert jax.config.jax_default_prng_impl == before
-    # the model's own key really is rbg (4-word key data), and an
+    # the model's own key really is rbg (typed key carrying its impl), it
+    # survives split() (the crash mode of a raw impl-less key), and an
     # independently created default key is unaffected
-    assert m._rng.shape == (4,)
+    assert "rbg" in str(m._rng.dtype)
+    a, b = jax.random.split(m._rng)
+    assert "rbg" in str(a.dtype)
+    jax.random.normal(b, (3,))           # usable for sampling
     plain = jax.random.PRNGKey(0)
     assert plain.shape == (2,)           # default threefry unchanged
 
