@@ -757,15 +757,19 @@ class RankModel:
 
     def _make_cached_eval(self, batch_size):
         """Like :meth:`_make_cached_predict` but also returns each row's
-        label (sliced from the device cache's float block) and validity
-        mask — the building block of fully on-device evaluation."""
+        label (sliced from the device cache's float block), group id (int
+        block, when the FeatureMap declares one) and validity mask — the
+        building blocks of fully on-device evaluation incl. gAUC."""
         from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
+                                                   CACHE_INT_KEY,
                                                    cache_layout)
         body = self._predict_body()
         B = int(batch_size)
         label = self.feature_map.labels[0]
         layout, _, _ = cache_layout(self.feature_map)
         _, lab_lo, _, _ = layout[label]
+        gid = getattr(self.feature_map, "group_id", None)
+        g_lo = layout[gid][1] if gid in layout else None
 
         @partial(jax.jit, static_argnums=(4,))
         def run(state, cache, n_valid, start, chunk):
@@ -778,21 +782,31 @@ class RankModel:
                 batch[SAMPLE_MASK_KEY] = valid.astype(jnp.float32)
                 y = body(state, batch).reshape(-1)
                 lab = cache[CACHE_FLOAT_KEY][safe, lab_lo]
-                return None, (y, lab, valid)
+                grp = (cache[CACHE_INT_KEY][safe, g_lo].astype(jnp.int32)
+                       if g_lo is not None
+                       else jnp.zeros((B,), jnp.int32))
+                return None, (y, lab, grp, valid)
 
-            _, (ys, labs, valids) = jax.lax.scan(scan_body, None,
-                                                 jnp.arange(chunk))
-            return ys.reshape(-1), labs.reshape(-1), valids.reshape(-1)
+            _, (ys, labs, grps, valids) = jax.lax.scan(scan_body, None,
+                                                       jnp.arange(chunk))
+            return (ys.reshape(-1), labs.reshape(-1), grps.reshape(-1),
+                    valids.reshape(-1))
 
         return run
 
     def _device_eval(self, loader, metrics, chunk_size=32):
         """Evaluate a device-cached split WITHOUT downloading predictions:
-        the forward passes, the exact tie-averaged AUC rank statistics, and
-        the logloss sum all run on the accelerator; only a few integer
-        scalars cross the wire (metrics.py:device_metric_components —
-        sklearn-exact AUC, SURVEY §7.1 'streaming AUC on device')."""
-        from fuxictr_tpu.metrics import (device_metric_components,
+        the forward passes, the exact tie-averaged AUC rank statistics,
+        the logloss sum, and (when a group_id is declared) the exact
+        grouped gAUC/avgAUC all run on the accelerator; only a few scalars
+        cross the wire (metrics.py:device_metric_components /
+        device_grouped_components — sklearn-exact, SURVEY §7.1).
+
+        Raises OverflowError when a group exceeds the int32-exact bound;
+        evaluate() falls back to the host pass."""
+        from fuxictr_tpu.metrics import (device_grouped_components,
+                                         device_metric_components,
+                                         finish_device_grouped,
                                          finish_device_metrics)
         if not isinstance(self._jit_cached_eval, dict):
             self._jit_cached_eval = {}
@@ -803,22 +817,38 @@ class RankModel:
         eval_fn = self._jit_cached_eval[B]
         if self._jit_metric_components is None:
             self._jit_metric_components = jax.jit(device_metric_components)
-        ys, labs, valids = [], [], []
+        ys, labs, grps, valids = [], [], [], []
         for cache, num_batches, n_valid, _base in loader.eval_chunks():
             done = 0
             while done < num_batches:
                 chunk = int(min(chunk_size, num_batches - done))
-                y, lab, valid = eval_fn(
+                y, lab, grp, valid = eval_fn(
                     self.state, cache, jnp.asarray(n_valid, jnp.int32),
                     jnp.asarray(done * B, jnp.int32), chunk)
                 ys.append(y)
                 labs.append(lab)
+                grps.append(grp)
                 valids.append(valid)
                 done += chunk
-        comps = self._jit_metric_components(
-            jnp.concatenate(ys), jnp.concatenate(labs),
-            jnp.concatenate(valids))
-        return finish_device_metrics(jax.device_get(comps), metrics)
+        y = jnp.concatenate(ys)
+        lab = jnp.concatenate(labs)
+        valid = jnp.concatenate(valids)
+        out = {}
+        scalar = [m for m in metrics
+                  if m in ("AUC", "logloss", "binary_crossentropy")]
+        grouped = [m for m in metrics if m in ("gAUC", "avgAUC")]
+        if scalar:
+            comps = self._jit_metric_components(y, lab, valid)
+            out.update(finish_device_metrics(jax.device_get(comps), scalar))
+        if grouped:
+            if getattr(self, "_jit_grouped_components", None) is None:
+                self._jit_grouped_components = jax.jit(
+                    device_grouped_components)
+            gcomps = self._jit_grouped_components(
+                y, lab, jnp.concatenate(grps), valid)
+            out.update(finish_device_grouped(
+                jax.device_get(gcomps), grouped))   # may raise Overflow
+        return {m: out[m] for m in metrics}
 
     def _cached_predictions(self, loader, chunk_size=32):
         """All predictions for a device-cache loader in natural row order
@@ -1279,6 +1309,9 @@ class RankModel:
                      or getattr(data_generator, "mesh", None) is self.mesh)):
             want = list(metrics or self.validation_metrics)
             from fuxictr_tpu.metrics import DEVICE_METRIC_EXACT_ROWS
+            device_ok = {"AUC", "logloss", "binary_crossentropy"}
+            if self.feature_map.group_id is not None:
+                device_ok |= {"gAUC", "avgAUC"}
             if (self.kwargs.get("device_metrics", True)
                     and self.mesh is None
                     and self.task == "binary_classification"
@@ -1286,14 +1319,18 @@ class RankModel:
                     and getattr(self, "_expander_src", None) is None
                     and int(getattr(data_generator, "num_samples", 0))
                     <= DEVICE_METRIC_EXACT_ROWS
-                    and set(want) <= {"AUC", "logloss",
-                                      "binary_crossentropy"}):
+                    and set(want) <= device_ok):
                 # fully on-device path: predictions never leave the chip
-                # (metrics.py:device_metric_components, sklearn-exact AUC)
-                val_logs = self._device_eval(data_generator, want)
-                logging.info("[Metrics] " + " - ".join(
-                    f"{k}: {v:.6f}" for k, v in val_logs.items()))
-                return val_logs
+                # (metrics.py:device_metric_components /
+                # device_grouped_components, sklearn-exact AUC + gAUC)
+                try:
+                    val_logs = self._device_eval(data_generator, want)
+                    logging.info("[Metrics] " + " - ".join(
+                        f"{k}: {v:.6f}" for k, v in val_logs.items()))
+                    return val_logs
+                except OverflowError as exc:
+                    # a group beyond the int32-exact device bound: host pass
+                    logging.info("device gAUC fallback: %s", exc)
             # device-cache loader: scanned on-device batches, labels host-side
             y_pred, rows = self._cached_predictions(data_generator)
             y_true = data_generator.host_labels[rows, 0]
@@ -1306,6 +1343,28 @@ class RankModel:
             logging.info("[Metrics] " + " - ".join(
                 f"{k}: {v:.6f}" for k, v in val_logs.items()))
             return val_logs
+        want = list(metrics or self.validation_metrics)
+        device_ok = {"AUC", "logloss", "binary_crossentropy"}
+        if self.feature_map.group_id is not None:
+            device_ok |= {"gAUC", "avgAUC"}
+        if (self.kwargs.get("device_metrics", True)
+                and self.mesh is not None
+                and not hasattr(data_generator, "cache_refs")
+                and self.task == "binary_classification"
+                and len(self.feature_map.labels) == 1
+                and set(want) <= device_ok):
+            # mesh / multi-host: keep predictions+labels as data-sharded
+            # GLOBAL device arrays and compute metric components in one
+            # jitted program over them (XLA partitions the sort and inserts
+            # the collectives) — O(batch) host memory per process, replacing
+            # the all_gather_host O(dataset)-per-host eval (VERDICT r3 #4)
+            try:
+                val_logs = self._device_eval_streaming(data_generator, want)
+                logging.info("[Metrics] " + " - ".join(
+                    f"{k}: {v:.6f}" for k, v in val_logs.items()))
+                return val_logs
+            except OverflowError as exc:
+                logging.info("device metrics fallback: %s", exc)
         gather = all_gather_host if is_multiprocess() else np.asarray
         from fuxictr_tpu.data.device_cache import GROUP_KEY, LABELS_KEY
         for batch in data_generator:
@@ -1330,6 +1389,57 @@ class RankModel:
         logging.info("[Metrics] " + " - ".join(
             f"{k}: {v:.6f}" for k, v in val_logs.items()))
         return val_logs
+
+    def _device_eval_streaming(self, data_generator, want):
+        """Mesh-path evaluation with O(batch) host memory: per-batch
+        predictions/labels/masks/groups stay as data-sharded global device
+        arrays; exact AUC/logloss/gAUC components run as jitted programs
+        over their sharded concatenation and only scalars reach the host
+        (metrics.py:device_metric_components / device_grouped_components).
+
+        Raises OverflowError past the int32-exact bounds; evaluate()
+        falls back to the gather/host pass."""
+        from fuxictr_tpu.metrics import (DEVICE_METRIC_EXACT_ROWS,
+                                         device_grouped_components,
+                                         device_metric_components,
+                                         finish_device_grouped,
+                                         finish_device_metrics)
+        label = self.feature_map.labels[0]
+        gid = self.feature_map.group_id
+        grouped = [m for m in want if m in ("gAUC", "avgAUC")]
+        scalar = [m for m in want
+                  if m in ("AUC", "logloss", "binary_crossentropy")]
+        ys, labs, ms, gs = [], [], [], []
+        for batch in data_generator:
+            placed = self._place_batch(batch)
+            y = self._jit_predict_step(self.state, placed)
+            ys.append(y.reshape(-1))
+            labs.append(placed[label].reshape(-1))
+            ms.append(placed[SAMPLE_MASK_KEY].reshape(-1))
+            if grouped:
+                gs.append(placed[gid].reshape(-1))
+        y = jnp.concatenate(ys)
+        if y.shape[0] > DEVICE_METRIC_EXACT_ROWS:
+            raise OverflowError(
+                f"{y.shape[0]} rows exceed the int32-exact device bound")
+        lab = jnp.concatenate(labs)
+        valid = jnp.concatenate(ms) > 0
+        out = {}
+        if scalar:
+            if self._jit_metric_components is None:
+                self._jit_metric_components = jax.jit(
+                    device_metric_components)
+            comps = self._jit_metric_components(y, lab, valid)
+            out.update(finish_device_metrics(jax.device_get(comps), scalar))
+        if grouped:
+            if getattr(self, "_jit_grouped_components", None) is None:
+                self._jit_grouped_components = jax.jit(
+                    device_grouped_components)
+            gcomps = self._jit_grouped_components(
+                y, lab, jnp.concatenate(gs), valid)
+            out.update(finish_device_grouped(jax.device_get(gcomps),
+                                             grouped))
+        return {m: out[m] for m in want}
 
     def predict(self, data_generator):
         y_pred, _, _ = self._predictions(data_generator)
