@@ -168,17 +168,77 @@ def grid_search(config_dir, device_slots, expid_tag=None,
     return failed
 
 
+def grid_search_inprocess(config_dir, expid_tag=None, max_retries=1,
+                          result_file=None):
+    """Warm tuner: every expid runs in THIS process, one after another.
+
+    Why: the subprocess scheduler (the reference behavior,
+    /root/reference/fuxictr/autotuner.py:146-179) pays per experiment a
+    fresh interpreter + JAX/backend init + full XLA compile. On one
+    remote-tunneled chip that is minutes of pure overhead per expid. The
+    warm mode shares, across expids:
+
+      - the live JAX runtime (no re-init, no tunnel re-handshake),
+      - staged data loaders — expids agreeing on loader params reuse the
+        already-resident HBM device cache (epoch counters reset so each
+        expid sees a fresh run's exact shuffle stream),
+      - the persistent compile cache (utils/compile_cache.py): expids that
+        only change non-shape hyperparameters (learning_rate, regularizers,
+        dropout) deserialize the SAME executable in seconds.
+
+    Crashed expids retry up to ``max_retries`` (exceptions confined per
+    expid). Subprocess mode remains for isolation. Returns failed expids.
+    """
+    from fuxictr_tpu.experiment import run_expid
+
+    expids = load_experiment_ids(config_dir)
+    if expid_tag is not None:
+        expids = [e for e in expids if str(expid_tag) in e]
+        assert expids, f"tag={expid_tag} matches no expid."
+    if result_file is None:
+        result_file = os.path.join(
+            os.path.abspath(config_dir),
+            os.path.basename(os.path.normpath(config_dir)) + ".csv")
+    shared = {}
+    pending = [(e, 0) for e in expids]
+    failed = []
+    while pending:
+        expid, attempt = pending.pop(0)
+        logging.info("Warm tuner%s: %s",
+                     f" (retry {attempt})" if attempt else "", expid)
+        try:
+            result = run_expid(config_dir, expid, result_file=result_file,
+                               shared=shared)
+            del result          # free the model before the next expid
+        except Exception:
+            logging.exception("expid %s raised", expid)
+            if attempt < max_retries:
+                pending.append((expid, attempt + 1))
+            else:
+                failed.append(expid)
+        import gc
+        gc.collect()
+    return failed
+
+
 def main(argv=None):
     """Console entry point (``fuxictr_tpu-tune``) — same CLI surface as the
-    reference's experiment/run_param_tuner.py:23-39."""
+    reference's experiment/run_param_tuner.py:23-39, plus ``--inprocess``
+    for the warm single-runtime mode."""
     import argparse
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--tag", type=str, default=None)
     parser.add_argument("--slots", nargs="+", default=["0"])
+    parser.add_argument("--inprocess", action="store_true",
+                        help="run all expids in this process, sharing the "
+                        "JAX runtime, staged loaders, and compile cache")
     args = parser.parse_args(argv)
     config_dir = enumerate_params(args.config)
-    failed = grid_search(config_dir, args.slots, expid_tag=args.tag)
+    if args.inprocess:
+        failed = grid_search_inprocess(config_dir, expid_tag=args.tag)
+    else:
+        failed = grid_search(config_dir, args.slots, expid_tag=args.tag)
     if failed:
         raise SystemExit(f"{len(failed)} expid(s) failed after retries: "
                          + ", ".join(failed))

@@ -17,8 +17,42 @@ from fuxictr_tpu.features import FeatureMap
 from fuxictr_tpu.models import get_model, seed_everything
 
 
-def run_expid(config_dir, experiment_id, result_file=None, params=None):
-    """Run one experiment; returns {'valid': logs, 'test': logs}."""
+_LOADER_KEYS = (
+    "dataset_id", "data_root", "train_data", "valid_data", "test_data",
+    "batch_size", "data_format", "streaming", "device_cache", "shuffle",
+    "seed", "host_id", "num_hosts", "hbm_limit_gb", "data_loader",
+    "max_len", "group_id", "data_block_size")
+
+
+def _get_loaders(stage, feature_map, params, shared):
+    """Build (or, in warm-tuner mode, reuse) the stage's data loaders.
+
+    ``shared`` is the warm autotuner's cross-expid cache: expids that agree
+    on every loader-relevant param reuse the already-staged loaders (e.g.
+    the device-resident HBM cache of 33M Criteo rows) instead of re-reading
+    and re-staging per experiment. Reused loaders get their epoch counter
+    reset so each expid sees the exact shuffle stream a fresh run would."""
+    if shared is None:
+        return RankDataLoader(feature_map, stage=stage,
+                              **params).make_iterator()
+    cache = shared.setdefault("loaders", {})
+    key = (stage,) + tuple(repr(params.get(k)) for k in _LOADER_KEYS)
+    if key not in cache:
+        cache[key] = RankDataLoader(feature_map, stage=stage,
+                                    **params).make_iterator()
+    out = cache[key]
+    for loader in (out if isinstance(out, tuple) else (out,)):
+        if hasattr(loader, "_epoch"):
+            loader._epoch = 0
+    return out
+
+
+def run_expid(config_dir, experiment_id, result_file=None, params=None,
+              shared=None):
+    """Run one experiment; returns {'valid': logs, 'test': logs}.
+
+    ``shared``: warm-tuner state dict (see :func:`_get_loaders`); pass the
+    same dict across calls to reuse staged loaders between expids."""
     if params is None:
         params = load_config(config_dir, experiment_id)
     set_logger(params)
@@ -65,9 +99,10 @@ def run_expid(config_dir, experiment_id, result_file=None, params=None):
         # with a clear error instead of staging inconsistent replicas
         if params.get("device_cache"):
             params.setdefault("mesh", mesh)
+        shared = None    # mesh identity is per-expid: no loader reuse
 
-    train_gen, valid_gen = RankDataLoader(
-        feature_map, stage="train", **params).make_iterator()
+    train_gen, valid_gen = _get_loaders("train", feature_map, params,
+                                        shared)
     model.fit(train_gen, validation_data=valid_gen,
               epochs=params.get("epochs", 1))
 
@@ -77,8 +112,7 @@ def run_expid(config_dir, experiment_id, result_file=None, params=None):
     test_result = {}
     if params.get("test_data"):
         logging.info("******** Test evaluation ********")
-        test_gen = RankDataLoader(
-            feature_map, stage="test", **params).make_iterator()
+        test_gen = _get_loaders("test", feature_map, params, shared)
         test_result = model.evaluate(test_gen)
 
     if result_file:
@@ -89,8 +123,9 @@ def run_expid(config_dir, experiment_id, result_file=None, params=None):
                     datetime.now().strftime("%Y%m%d-%H%M%S"),
                     experiment_id, params["dataset_id"],
                     print_to_list(valid_result), print_to_list(test_result)))
-    del train_gen, valid_gen
-    gc.collect()
+    if shared is None:
+        del train_gen, valid_gen
+        gc.collect()
     return {"valid": valid_result, "test": test_result, "model": model}
 
 

@@ -82,3 +82,42 @@ def test_grid_search_retries_crashed_expid(tmp_path, monkeypatch):
                                    max_retries=1)
     assert launches == ["bad_expid", "bad_expid"]
     assert failed == ["bad_expid"]
+
+
+def test_grid_search_inprocess(tuner_yaml, tmp_path):
+    """Warm mode: both expids run in-process, share staged loaders, and
+    produce the same metrics a fresh (isolated) run produces."""
+    config_dir = autotuner.enumerate_params(tuner_yaml)
+    failed = autotuner.grid_search_inprocess(config_dir)
+    assert failed == []
+    result_csv = os.path.join(os.path.abspath(config_dir),
+                              os.path.basename(config_dir) + ".csv")
+    with open(result_csv) as fd:
+        lines = [l for l in fd if l.strip()]
+    assert len(lines) == 2
+
+    # metric parity with an isolated run of the same expid
+    from fuxictr_tpu.experiment import run_expid
+    expid = autotuner.load_experiment_ids(config_dir)[0]
+    import re
+    fresh = run_expid(config_dir, expid)
+    row = next(l for l in lines if expid in l)
+    auc_in_row = float(re.search(r"AUC: ([0-9.]+)", row).group(1))
+    assert abs(fresh["valid"]["AUC"] - auc_in_row) < 1e-6
+
+
+def test_shared_loaders_reused_and_reset(tmp_path):
+    """run_expid(shared=...) caches loaders across calls and resets their
+    epoch counters so each expid sees a fresh shuffle stream."""
+    from fuxictr_tpu.config import load_config
+    from fuxictr_tpu.experiment import run_expid
+    cfg = os.path.abspath("./configs/tiny")
+    params = load_config(cfg, "DNN_test")
+    params["model_root"] = str(tmp_path)
+    shared = {}
+    run_expid(cfg, "DNN_test", params=dict(params), shared=shared)
+    loaders_before = dict(shared["loaders"])
+    r2 = run_expid(cfg, "DNN_test", params=dict(params), shared=shared)
+    assert shared["loaders"] == loaders_before      # same objects reused
+    r3 = run_expid(cfg, "DNN_test", params=dict(params))  # isolated
+    assert abs(r2["valid"]["AUC"] - r3["valid"]["AUC"]) < 1e-6
