@@ -384,6 +384,7 @@ class RankModel:
     def _build_state(self, params, model_state,
                      max_gradient_norm=10.0):
         self._ensure_optimizer(max_gradient_norm)
+        self._resume_step = 0
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             model_state=model_state, opt_state=self._init_opt_state(params))
@@ -915,8 +916,11 @@ class RankModel:
         # must continue periodic-ckpt numbering from the restored optimizer
         # step — restarting at step_1 would make rotation keep deleting the
         # fresh checkpoints while latest_checkpoint() returns the stale
-        # pre-crash state
-        self._total_steps = int(jax.device_get(self.state.step))
+        # pre-crash state. The step is mirrored host-side (_resume_step,
+        # set by load_checkpoint): a device_get here would be a premature
+        # barrier that serializes fit() behind all in-flight staging
+        # transfers (minutes on a remote tunnel).
+        self._total_steps = int(getattr(self, "_resume_step", 0) or 0)
         self._batch_index = 0
         self._epoch_index = 0
         # per-fit: a None eval_steps means "once per epoch" of THIS
@@ -951,6 +955,7 @@ class RankModel:
                 break
             logging.info("************ Epoch=%d end ************", epoch + 1)
         logging.info("Training finished.")
+        self._resume_step = self._total_steps   # consecutive fits continue
         self._finish_periodic_checkpoint()
         if os.path.exists(self.checkpoint):
             logging.info("Load best model: %s", self.checkpoint)
@@ -1499,9 +1504,12 @@ class RankModel:
             abstract = jax.tree_util.tree_map(
                 ocp.utils.to_shape_dtype_struct, self.state)
             self.state = ckptr.restore(os.path.abspath(path), abstract)
-            return
-        with open(path, "rb") as fd:
-            self.state = pickle.load(fd)
+        else:
+            with open(path, "rb") as fd:
+                self.state = pickle.load(fd)
+        # host mirror of the restored step: fit() resumes periodic-ckpt
+        # numbering from it without a device barrier on the hot path
+        self._resume_step = int(jax.device_get(self.state.step))
 
     def count_parameters(self, count_embedding=True):
         total = 0

@@ -53,10 +53,22 @@ def _to_columns(payload):
 
 
 class PredictionServer:
-    """Owns the Predictor and the HTTP server; see module docstring."""
+    """Owns the Predictor and the HTTP server; see module docstring.
 
-    def __init__(self, predictor, host="0.0.0.0", port=8000):
+    ``microbatch=True`` routes concurrent requests through a
+    :class:`fuxictr_tpu.serving.microbatch.MicroBatcher`: the dispatcher
+    thread coalesces them into shared AOT-bucket batches (one program for
+    many requests) instead of serializing one program per request —
+    throughput under concurrent load scales with the bucket, not the
+    request count (see BENCHMARKS.md "Serving under load")."""
+
+    def __init__(self, predictor, host="0.0.0.0", port=8000,
+                 microbatch=False, linger_ms=2.0):
         self.predictor = predictor
+        self.batcher = None
+        if microbatch:
+            from fuxictr_tpu.serving.microbatch import MicroBatcher
+            self.batcher = MicroBatcher(predictor, linger_ms=linger_ms)
         self._lock = threading.Lock()
         self._requests = 0
         outer = self
@@ -94,9 +106,14 @@ class PredictionServer:
                     t0 = time.perf_counter()
                     with outer._lock:
                         outer._requests += 1
-                        if payload.get("raw"):
-                            y = outer.predictor.predict_raw(cols)
-                        else:
+                    if payload.get("raw"):
+                        # encode on the request thread (host-side, thread
+                        # safe); only the device call is coalesced
+                        cols = outer.predictor.encode(cols)
+                    if outer.batcher is not None:
+                        y = outer.batcher.predict(cols)
+                    else:
+                        with outer._lock:
                             y = outer.predictor.predict(cols)
                     ms = (time.perf_counter() - t0) * 1e3
                     self._send(200, {"probabilities":
@@ -122,6 +139,8 @@ class PredictionServer:
     def shutdown(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+        if self.batcher is not None:
+            self.batcher.close()
 
 
 def main(argv=None):
@@ -136,13 +155,19 @@ def main(argv=None):
     ap.add_argument("--quantize", default=None, choices=[None, "int8"])
     ap.add_argument("--no-aot", action="store_true",
                     help="compile buckets lazily on first use")
+    ap.add_argument("--microbatch", action="store_true",
+                    help="coalesce concurrent requests into shared "
+                    "AOT-bucket batches (serving/microbatch.py)")
+    ap.add_argument("--linger-ms", type=float, default=2.0)
     args = ap.parse_args(argv)
 
     from fuxictr_tpu.serving import Predictor
     buckets = tuple(int(b) for b in args.buckets.split(","))
     pred = Predictor(args.bundle, batch_buckets=buckets,
                      aot=not args.no_aot, quantize=args.quantize)
-    server = PredictionServer(pred, host=args.host, port=args.port)
+    server = PredictionServer(pred, host=args.host, port=args.port,
+                              microbatch=args.microbatch,
+                              linger_ms=args.linger_ms)
     print(f"serving {args.bundle} on {args.host}:{server.port} "
           f"(buckets={buckets}, quantize={args.quantize or 'off'})",
           flush=True)

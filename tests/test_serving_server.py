@@ -115,3 +115,98 @@ def test_bad_requests(served):
     code, body = _call(server.port, "/predict",
                        {"rows": []})
     assert code == 400
+
+
+def _bundle_predictor(tmp_path):
+    """Fresh Predictor + an encoded 16-row feature batch."""
+    from fuxictr_tpu.serving import Predictor, export_model
+    model, fm = _train_tiny(tmp_path)
+    bundle = export_model(model, str(tmp_path / "mb_bundle"),
+                          params=dict(model="DeepFM", embedding_dim=4,
+                                      hidden_units=[16, 8]))
+    pred = Predictor(bundle, batch_buckets=(1, 8, 64), aot=False)
+    df = pd.read_parquet(f"{DATA_DIR}/train.parquet").head(16)
+    batch = {c: df[c].to_numpy() for c in df.columns}
+    return pred, fm, batch
+
+
+def test_microbatch_coalesces_and_matches(tmp_path):
+    """Concurrent MicroBatcher.predict calls must return exactly the
+    per-request Predictor results while coalescing them into fewer device
+    batches."""
+    import threading
+
+    import numpy as np
+
+    from fuxictr_tpu.serving.microbatch import MicroBatcher
+
+    pred, fm, batch = _bundle_predictor(tmp_path)
+    feats = {k: np.asarray(v) for k, v in batch.items()
+             if k in fm.features}
+    want = pred.predict(feats)
+
+    mb = MicroBatcher(pred, linger_ms=20)
+    n = len(next(iter(feats.values())))
+    results = [None] * n
+    errors = []
+
+    def one(i):
+        try:
+            row = {k: v[i:i + 1] for k, v in feats.items()}
+            results[i] = mb.predict(row)
+        except Exception as exc:          # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert not errors, errors
+    got = np.concatenate([np.atleast_1d(r) for r in results])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert mb.batches_run < n             # actually coalesced
+    assert mb.rows_run == n
+
+
+def test_server_microbatch_mode(tmp_path):
+    """HTTP server with --microbatch returns per-request results identical
+    to lock mode under concurrent clients."""
+    import http.client
+    import json as jsonlib
+    import threading
+
+    import numpy as np
+
+    from fuxictr_tpu.serving.server import PredictionServer
+
+    pred, fm, batch = _bundle_predictor(tmp_path)
+    feats = {k: np.asarray(v) for k, v in batch.items() if k in fm.features}
+    want = pred.predict(feats)
+
+    server = PredictionServer(pred, port=0, microbatch=True, linger_ms=10)
+    server.start_background()
+    n = len(next(iter(feats.values())))
+    results = [None] * n
+
+    def one(i):
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=30)
+        body = jsonlib.dumps({"columns": {
+            k: v[i:i + 1].tolist() for k, v in feats.items()}})
+        conn.request("POST", "/predict", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        results[i] = jsonlib.loads(resp.read())["probabilities"]
+        conn.close()
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.shutdown()
+    got = np.concatenate([np.atleast_1d(r) for r in results])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
