@@ -27,6 +27,7 @@ in the zoo works unchanged on top of the cache.
 """
 
 import logging
+from functools import partial
 
 import numpy as np
 
@@ -254,6 +255,8 @@ class DeviceCacheDataLoader:
                     for lo in range(0, self._n_rows, rpc)]
         self.chunked = len(self._chunk_bounds) > 1
 
+        self._narrow = (self._plan_narrow(block_int)
+                        if kwargs.get("narrow_staging", True) else None)
         if self.chunked:
             self._host_int, self._host_float = block_int, block_float
             self._dev_int = self._dev_float = None
@@ -268,18 +271,77 @@ class DeviceCacheDataLoader:
                 "Device cache: %d rows staged (%.2f GB int + %.2f GB float)",
                 self._n_valid, block_int.nbytes / 2 ** 30,
                 block_float.nbytes / 2 ** 30)
+            placement = None
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 placement = NamedSharding(mesh, P())
-                self._dev_int = jax.device_put(block_int, placement)
-                self._dev_float = jax.device_put(block_float, placement)
-            else:
-                self._dev_int = jax.device_put(block_int)
-                self._dev_float = jax.device_put(block_float)
+            self._dev_int = self._put_int_block(block_int, placement)
+            self._dev_float = (jax.device_put(block_float, placement)
+                               if placement is not None
+                               else jax.device_put(block_float))
             jax.block_until_ready((self._dev_int, self._dev_float))
         self.num_batches = sum(
             int(np.ceil((hi - lo) / batch_size))
             for lo, hi in self._chunk_bounds)
+
+    # -------------------------------------------------- narrow-wire staging
+    # Host->device transfer of the int block is the e2e bottleneck once
+    # compiles are cached (BENCHMARKS.md "e2e decomposition"): most CTR
+    # categorical columns have vocabs far below 2^16, so shipping them as
+    # int32 wastes 2-4x wire bytes. Columns are staged in the narrowest
+    # unsigned dtype their values fit ({u8, u16, i32} groups) and repacked
+    # into the canonical int32 block by ONE jitted donate-input program on
+    # the device — the resident layout (and every downstream program) is
+    # byte-identical to direct staging; only the wire transfer shrinks.
+    def _plan_narrow(self, block_int):
+        if block_int.shape[1] == 0 or block_int.shape[0] == 0:
+            return None
+        lo = block_int.min(axis=0)
+        hi = block_int.max(axis=0)
+        groups = {"u8": [], "u16": [], "i32": []}
+        for c in range(block_int.shape[1]):
+            if lo[c] >= 0 and hi[c] <= np.iinfo(np.uint8).max:
+                groups["u8"].append(c)
+            elif lo[c] >= 0 and hi[c] <= np.iinfo(np.uint16).max:
+                groups["u16"].append(c)
+            else:
+                groups["i32"].append(c)
+        if not groups["u8"] and not groups["u16"]:
+            return None
+        perm = groups["u8"] + groups["u16"] + groups["i32"]
+        return {"groups": groups,
+                "inv": np.argsort(np.asarray(perm)).astype(np.int32)}
+
+    def _put_int_block(self, block_int, placement):
+        """Stage an int32 block (or a row slice of one) through the narrow
+        wire path; returns the device-resident canonical int32 block."""
+        import jax
+        import jax.numpy as jnp
+
+        def put(x):
+            return (jax.device_put(x, placement) if placement is not None
+                    else jax.device_put(x))
+
+        plan = self._narrow
+        if plan is None:
+            return put(block_int)
+        g = plan["groups"]
+        inv = plan["inv"]
+        parts = []
+        for dtype, cols in (("uint8", g["u8"]), ("uint16", g["u16"]),
+                            ("int32", g["i32"])):
+            if cols:
+                parts.append(put(np.ascontiguousarray(
+                    block_int[:, cols].astype(np.dtype(dtype)))))
+
+        @partial(jax.jit, donate_argnums=tuple(range(len(parts))),
+                 out_shardings=placement)
+        def repack(*narrow):
+            full = jnp.concatenate(
+                [p.astype(jnp.int32) for p in narrow], axis=1)
+            return jnp.take(full, jnp.asarray(inv), axis=1)
+
+        return repack(*parts)
 
     def __len__(self):
         return self.num_batches
@@ -299,7 +361,8 @@ class DeviceCacheDataLoader:
         import jax
         if not self.chunked:
             return self.cache_refs()
-        return {CACHE_INT_KEY: jax.device_put(self._host_int[lo:hi]),
+        return {CACHE_INT_KEY: self._put_int_block(self._host_int[lo:hi],
+                                                   None),
                 CACHE_FLOAT_KEY: jax.device_put(self._host_float[lo:hi])}
 
     def _chunk_order(self, lo, hi, epoch, chunk_id, shuffle):

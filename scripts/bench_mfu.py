@@ -43,6 +43,13 @@ def analytic_dense_flops(width, hidden, cross_layers, batch):
     return 3 * per_ex * batch
 
 
+# production Criteo vocab mix (make_criteo_scale.VOCABS): buckets into the
+# 3-table layout the real benchmark runs with
+CRITEO_VOCABS = [1200000, 550000, 300000, 180000, 90000, 60000, 40000,
+                 25000, 15000, 11000, 8000, 5500, 4000, 2600, 1800, 1200,
+                 800, 500, 300, 180, 110, 60, 35, 22, 14, 9]
+
+
 def measure(num_fields, batch, steps=40, k=10, emb_dim=16, vocab=100000):
     import jax
 
@@ -51,6 +58,8 @@ def measure(num_fields, batch, steps=40, k=10, emb_dim=16, vocab=100000):
                                              make_synthetic_feature_map)
 
     n_cat = num_fields - 13
+    if vocab == "criteo":
+        vocab = (CRITEO_VOCABS + [1000] * max(n_cat - 26, 0))[:n_cat]
     fm = make_synthetic_feature_map(num_categorical=n_cat, num_numeric=13,
                                     vocab_size=vocab, embedding_dim=emb_dim)
     model = DCNv2(fm, model_id=f"DCNv2_mfu_{num_fields}_{batch}",
@@ -109,13 +118,21 @@ def measure(num_fields, batch, steps=40, k=10, emb_dim=16, vocab=100000):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocab", default="100000",
+                    help="'criteo' for the production bucketed vocab mix, "
+                    "else a uniform per-field vocab size")
+    args = ap.parse_args()
+    vocab = args.vocab if args.vocab == "criteo" else int(args.vocab)
     results = []
     for fields, batch in ((39, 8192), (40, 8192), (39, 16384),
                           (40, 16384), (39, 32768), (40, 32768)):
-        results.append(measure(fields, batch))
-    with open("/tmp/mfu_results.json", "w") as fd:
+        results.append(measure(fields, batch, vocab=vocab))
+    out = f"/tmp/mfu_results_{args.vocab}.json"
+    with open(out, "w") as fd:
         json.dump(results, fd, indent=2)
-    print("wrote /tmp/mfu_results.json")
+    print("wrote", out)
 
 
 if __name__ == "__main__":

@@ -76,10 +76,19 @@ def main():
     ap.add_argument("--seed", type=int, default=2019)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--chunk", type=int, default=250_000)
+    ap.add_argument("--max-len", type=int, default=MAX_LEN,
+                    help="longest lifelong history (4096-10000 = the "
+                    "TWIN-paper regime; VERDICT r3 #3 ladder)")
+    ap.add_argument("--min-len", type=int, default=MIN_LEN)
+    ap.add_argument("--users", type=int, default=None,
+                    help="override user count (lifelong lengths need "
+                    "fewer users to bound total events)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
-    n_users = max(64, int(N_USERS * min(1.0, args.scale * 4)))
+    max_len, min_len = args.max_len, args.min_len
+    n_users = (args.users if args.users
+               else max(64, int(N_USERS * min(1.0, args.scale * 4))))
 
     # catalog: flat-ish Zipf popularity (alpha=0.6 keeps the early-repeat
     # indicator informative across ranks); latent vectors = category part
@@ -96,7 +105,7 @@ def main():
     # per-user lifelong histories: IID popularity draws — no interest
     # bias, no temporal structure (=> the window carries zero information
     # about early realizations beyond popularity and seq_len)
-    lens = rng.integers(MIN_LEN, MAX_LEN + 1, n_users)
+    lens = rng.integers(min_len, max_len + 1, n_users)
     off = np.zeros(n_users + 1, np.int64)
     off[1:] = np.cumsum(lens)
     total = int(off[-1])
@@ -197,7 +206,7 @@ def main():
                 "user_index": users,
                 "user_feat": users + 1,
                 "item_index": tgt + 1,
-                "seq_len": np.minimum(lens[users], MAX_LEN),
+                "seq_len": np.minimum(lens[users], max_len),
                 "clk": y,
             }))
             logit_parts.append(logit)
