@@ -334,8 +334,9 @@ class DeviceCacheDataLoader:
                 parts.append(put(np.ascontiguousarray(
                     block_int[:, cols].astype(np.dtype(dtype)))))
 
-        @partial(jax.jit, donate_argnums=tuple(range(len(parts))),
-                 out_shardings=placement)
+        # no donation: XLA can't reuse a uint8/16 buffer for the int32
+        # output anyway; the narrow blocks free on return instead
+        @partial(jax.jit, out_shardings=placement)
         def repack(*narrow):
             full = jnp.concatenate(
                 [p.astype(jnp.int32) for p in narrow], axis=1)
