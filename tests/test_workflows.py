@@ -319,3 +319,19 @@ def test_periodic_async_checkpoints(tmp_path):
                     jax.tree_util.tree_leaves(
                         jax.device_get(m2.state.params))):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_docs_build(tmp_path):
+    """scripts/build_docs.py renders the documentation set to a static
+    HTML site (the reference ships a jupyter-book build; this is the
+    no-extra-deps equivalent)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "build_docs", os.path.join(os.path.dirname(__file__), "..",
+                                   "scripts", "build_docs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pages = mod.build(str(tmp_path))
+    assert len(pages) >= 5
+    html = open(os.path.join(str(tmp_path), "index.html")).read()
+    assert "<nav>" in html and "fuxictr_tpu" in html
