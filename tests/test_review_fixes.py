@@ -223,10 +223,11 @@ def test_longctr_device_iter_carries_labels(tmp_path):
                                   (np.arange(n) % 2).astype(np.float32))
 
 
-def test_rng_impl_knob_switches_prng_and_resets():
-    """rng_impl: 'rbg' flips jax_default_prng_impl at model construction
-    (BENCHMARKS.md round 3: ~5x cheaper dropout masks on TPU); default
-    threefry stays untouched for stream reproducibility."""
+def test_rng_impl_knob_is_scoped_to_the_model():
+    """rng_impl: 'rbg' gives the MODEL an rbg key lineage (BENCHMARKS.md
+    round 3: ~5x cheaper dropout masks on TPU) WITHOUT mutating the
+    process-global jax_default_prng_impl (round-3 advisor finding: the
+    global flip silently switched every other model's random streams)."""
     import jax
 
     from fuxictr_tpu.models.zoo.ranking import DNN
@@ -237,16 +238,15 @@ def test_rng_impl_knob_switches_prng_and_resets():
                                     vocab_size=32, embedding_dim=4)
     before = jax.config.jax_default_prng_impl
     assert before == "threefry2x32"
-    try:
-        model = DNN(fm, model_id="rng_knob", embedding_dim=4,
-                    hidden_units=[8], net_dropout=0.1, rng_impl="rbg",
-                    model_root="/tmp/fuxictr_tpu_test")
-        assert jax.config.jax_default_prng_impl == "rbg"
-        model.init_params()
-        step = model._make_train_step()
-        batch = make_synthetic_batch(fm, batch_size=8, seed=0)
-        _, loss = step(model.state, model._place_batch(batch),
-                       jax.random.PRNGKey(0))
-        assert float(loss) == float(loss)   # finite
-    finally:
-        jax.config.update("jax_default_prng_impl", before)
+    model = DNN(fm, model_id="rng_knob", embedding_dim=4,
+                hidden_units=[8], net_dropout=0.1, rng_impl="rbg",
+                model_root="/tmp/fuxictr_tpu_test")
+    assert jax.config.jax_default_prng_impl == before   # untouched
+    assert "rbg" in str(model._rng.dtype)               # scoped to model
+    model.init_params()
+    step = model._make_train_step()
+    batch = make_synthetic_batch(fm, batch_size=8, seed=0)
+    model._rng, step_rng = jax.random.split(model._rng)
+    _, loss = step(model.state, model._place_batch(batch), step_rng)
+    assert float(loss) == float(loss)   # finite
+    assert jax.config.jax_default_prng_impl == before
