@@ -35,6 +35,7 @@ WORKER = textwrap.dedent("""
 
     fm = make_synthetic_feature_map(num_categorical=4, num_numeric=2,
                                     vocab_size=64, embedding_dim=4)
+    fm.group_id = "C1"     # grouped metrics ride the streaming device path
     m = DNN(fm, embedding_dim=4, hidden_units=(16,),
             model_root="/tmp/dist_test_%(tag)s", batch_norm=False)
     m.init_params()
@@ -56,9 +57,10 @@ WORKER = textwrap.dedent("""
     # eval bridge: metrics must come out identical on every process
     valid = make_synthetic_batch(fm, B_GLOBAL, seed=99)
     local_valid = {k: v[lo:lo + n_local] for k, v in valid.items()}
-    logs = m.evaluate([local_valid], metrics=["AUC", "logloss"])
+    logs = m.evaluate([local_valid], metrics=["AUC", "logloss", "gAUC"])
     print("LOSSES", " ".join("%%.8f" %% l for l in losses))
-    print("EVAL", "%%.8f %%.8f" %% (logs["AUC"], logs["logloss"]))
+    print("EVAL", "%%.8f %%.8f %%.8f" %% (logs["AUC"], logs["logloss"],
+                                          logs["gAUC"]))
 """)
 
 
