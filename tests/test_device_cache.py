@@ -417,3 +417,33 @@ def test_device_metrics_components_sklearn_parity():
             jax.device_get(jax.jit(device_metric_components)(
                 jnp.asarray(s), jnp.ones(n, np.float32),
                 jnp.asarray(m))), ["AUC"])
+
+
+def test_narrow_staging_plan_and_repack():
+    """Narrow-wire staging: columns pick the narrowest unsigned dtype
+    their values fit, negatives force int32, and the on-device repack
+    reproduces the canonical block exactly."""
+    import jax
+    import numpy as np
+
+    from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+
+    ld = DeviceCacheDataLoader.__new__(DeviceCacheDataLoader)
+    block = np.stack([
+        np.arange(64) % 200,          # u8
+        np.arange(64) * 500,          # u16 (max 31500)
+        np.arange(64) * 100000,       # i32
+        -np.arange(64),               # negative -> i32
+    ], axis=1).astype(np.int32)
+    ld._narrow = ld._plan_narrow(block)
+    g = ld._narrow["groups"]
+    assert g["u8"] == [0] and g["u16"] == [1] and sorted(g["i32"]) == [2, 3]
+    out = np.asarray(ld._put_int_block(block, None))
+    np.testing.assert_array_equal(out, block)
+
+    # all-wide block: plan is None and staging is a plain device_put
+    wide = (np.arange(64).reshape(-1, 1) * 10 ** 6).astype(np.int32)
+    assert ld._plan_narrow(wide) is None
+    ld._narrow = None
+    np.testing.assert_array_equal(np.asarray(ld._put_int_block(wide, None)),
+                                  wide)
