@@ -124,7 +124,13 @@ class PredictionServer:
                 except Exception as exc:    # noqa: BLE001 — serve must not die
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            # default backlog (5) resets connections under concurrent
+            # load; the micro-batching design expects many waiters
+            request_queue_size = 128
+            daemon_threads = True
+
+        self.httpd = Server((host, port), Handler)
         self.port = self.httpd.server_address[1]
 
     def serve_forever(self):
