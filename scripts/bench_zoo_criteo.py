@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--models", default=",".join(MODEL_PARAMS))
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--rng-impl", default=None)
     args = ap.parse_args()
 
     from fuxictr_tpu.config import set_logger
@@ -69,7 +71,8 @@ def main():
         device_cache=True, batch_size=args.batch_size, shuffle=True,
         train_data=f"{DATA_ROOT}/{DATASET_ID}/train/",
         valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
-        embedding_dim=16, learning_rate=1e-3, net_dropout=0.1,
+        embedding_dim=16, learning_rate=args.lr, net_dropout=0.1,
+        **({"rng_impl": args.rng_impl} if args.rng_impl else {}),
         steps_per_call=32, compute_dtype="bfloat16", monitor="AUC",
         metrics=["AUC", "logloss"], epochs=args.epochs, verbose=1)
     set_logger(dict(base, model_id="zoo_bench"))
@@ -90,11 +93,12 @@ def main():
                       model_id=f"{name}_zoo_{DATASET_ID}",
                       **MODEL_PARAMS.get(name, {}))
         seed_everything(2019)
-        model = get_model(name)(fm, **params)
         handler = _RateHandler()
         logging.getLogger().addHandler(handler)
         t0 = time.time()
+        model = None
         try:
+            model = get_model(name)(fm, **params)
             model.fit(train_gen, validation_data=valid_gen,
                       epochs=args.epochs)
             logs = model.evaluate(valid_gen)
@@ -111,6 +115,13 @@ def main():
         finally:
             logging.getLogger().removeHandler(handler)
         del model
+        import gc
+        gc.collect()
+        try:                      # drop dead buffers after an OOM
+            import jax
+            jax.clear_caches()
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":
