@@ -237,6 +237,9 @@ class DeviceCacheDataLoader:
         # HBM per epoch (double-buffered staging; see epoch_chunks)
         bytes_per_row = (block_int.dtype.itemsize * max(wi, 0)
                          + block_float.dtype.itemsize * max(wf, 0))
+        self._narrow = (self._plan_narrow(block_int)
+                        if kwargs.get("narrow_staging", True) else None)
+        self._repack_jit = {}
         self._chunk_bounds = [(0, self._n_rows)]
         if hbm_limit_gb:
             rpc = int(float(hbm_limit_gb) * 2 ** 30 // max(bytes_per_row, 1))
@@ -244,8 +247,12 @@ class DeviceCacheDataLoader:
             if rpc < self._n_rows:
                 # epoch_chunks double-buffers (chunk i+1 stages while
                 # chunk i trains): two chunks are resident at peak, so
-                # each chunk gets HALF the budget
-                rpc = max(rpc // 2 // batch_size * batch_size, batch_size)
+                # each chunk gets HALF the budget — a THIRD of it when
+                # narrow staging is active, whose repack transiently holds
+                # narrow parts + the int32 output alongside the chunk
+                divisor = 3 if self._narrow is not None else 2
+                rpc = max(rpc // divisor // batch_size * batch_size,
+                          batch_size)
                 if mesh is not None:
                     raise ValueError(
                         "hbm_limit_gb chunking is single-device only "
@@ -255,8 +262,6 @@ class DeviceCacheDataLoader:
                     for lo in range(0, self._n_rows, rpc)]
         self.chunked = len(self._chunk_bounds) > 1
 
-        self._narrow = (self._plan_narrow(block_int)
-                        if kwargs.get("narrow_staging", True) else None)
         if self.chunked:
             self._host_int, self._host_float = block_int, block_float
             self._dev_int = self._dev_float = None
@@ -334,14 +339,23 @@ class DeviceCacheDataLoader:
                 parts.append(put(np.ascontiguousarray(
                     block_int[:, cols].astype(np.dtype(dtype)))))
 
-        # no donation: XLA can't reuse a uint8/16 buffer for the int32
-        # output anyway; the narrow blocks free on return instead
-        @partial(jax.jit, out_shardings=placement)
-        def repack(*narrow):
-            full = jnp.concatenate(
-                [p.astype(jnp.int32) for p in narrow], axis=1)
-            return jnp.take(full, jnp.asarray(inv), axis=1)
+        # one jitted repack per placement, cached: the chunked staging
+        # path calls this per chunk per epoch, and a fresh closure each
+        # call would defeat jax.jit's function-identity cache (re-trace,
+        # and re-compile without a persistent cache, on the hot path).
+        # No donation: XLA can't reuse a uint8/16 buffer for the int32
+        # output anyway; the narrow blocks free on return instead.
+        if not hasattr(self, "_repack_jit"):
+            self._repack_jit = {}
+        repack = self._repack_jit.get(placement)
+        if repack is None:
+            @partial(jax.jit, out_shardings=placement)
+            def repack(*narrow):
+                full = jnp.concatenate(
+                    [p.astype(jnp.int32) for p in narrow], axis=1)
+                return jnp.take(full, jnp.asarray(inv), axis=1)
 
+            self._repack_jit[placement] = repack
         return repack(*parts)
 
     def __len__(self):

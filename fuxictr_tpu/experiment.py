@@ -21,25 +21,41 @@ _LOADER_KEYS = (
     "dataset_id", "data_root", "train_data", "valid_data", "test_data",
     "batch_size", "data_format", "streaming", "device_cache", "shuffle",
     "seed", "host_id", "num_hosts", "hbm_limit_gb", "data_loader",
-    "max_len", "group_id", "data_block_size")
+    "max_len", "group_id", "data_block_size", "device_shuffle",
+    "narrow_staging", "dedup_items", "dedup_min_bucket", "user_info",
+    "item_info", "buffer_size", "use_features")
+
+# at most this many loader sets stay alive per stage in warm-tuner mode —
+# a device-cache loader pins a multi-GB HBM block, so an unbounded cache
+# over e.g. a batch_size grid would OOM the chip by the third expid
+_LOADER_CACHE_KEEP = 2
 
 
 def _get_loaders(stage, feature_map, params, shared):
     """Build (or, in warm-tuner mode, reuse) the stage's data loaders.
 
     ``shared`` is the warm autotuner's cross-expid cache: expids that agree
-    on every loader-relevant param reuse the already-staged loaders (e.g.
-    the device-resident HBM cache of 33M Criteo rows) instead of re-reading
-    and re-staging per experiment. Reused loaders get their epoch counter
-    reset so each expid sees the exact shuffle stream a fresh run would."""
+    on EVERY loader-relevant param (_LOADER_KEYS) reuse the already-staged
+    loaders (e.g. the device-resident HBM cache of 33M Criteo rows)
+    instead of re-reading and re-staging per experiment. Reused loaders
+    get their epoch counter reset so each expid sees the exact shuffle
+    stream a fresh run would. Oldest entries are evicted beyond
+    ``_LOADER_CACHE_KEEP`` per stage (dropping the reference frees the
+    HBM blocks)."""
     if shared is None:
         return RankDataLoader(feature_map, stage=stage,
                               **params).make_iterator()
-    cache = shared.setdefault("loaders", {})
+    from collections import OrderedDict
+    cache = shared.setdefault("loaders", OrderedDict())
     key = (stage,) + tuple(repr(params.get(k)) for k in _LOADER_KEYS)
-    if key not in cache:
+    if key in cache:
+        cache.move_to_end(key)
+    else:
         cache[key] = RankDataLoader(feature_map, stage=stage,
                                     **params).make_iterator()
+        stale = [k for k in cache if k[0] == stage][:-_LOADER_CACHE_KEEP]
+        for k in stale:
+            del cache[k]
     out = cache[key]
     for loader in (out if isinstance(out, tuple) else (out,)):
         if hasattr(loader, "_epoch"):

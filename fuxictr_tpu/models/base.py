@@ -770,7 +770,10 @@ class RankModel:
         layout, _, _ = cache_layout(self.feature_map)
         _, lab_lo, _, _ = layout[label]
         gid = getattr(self.feature_map, "group_id", None)
-        g_lo = layout[gid][1] if gid in layout else None
+        # int block only: a float-block group_id would silently index the
+        # wrong column — evaluate() gates the grouped device path on this
+        g_lo = (layout[gid][1]
+                if gid in layout and layout[gid][0] == "int" else None)
 
         @partial(jax.jit, static_argnums=(4,))
         def run(state, cache, n_valid, start, chunk):
@@ -1308,23 +1311,35 @@ class RankModel:
         # all processes compute identical metrics
         from fuxictr_tpu.parallel.distributed import (all_gather_host,
                                                       is_multiprocess)
+        from fuxictr_tpu.metrics import DEVICE_METRIC_EXACT_ROWS
+        want = list(metrics or self.validation_metrics)
+        device_ok = {"AUC", "logloss", "binary_crossentropy"}
+        gid = self.feature_map.group_id
+        if gid is not None:
+            device_ok |= {"gAUC", "avgAUC"}
+        device_metrics_on = (self.kwargs.get("device_metrics", True)
+                             and self.task == "binary_classification"
+                             and len(self.feature_map.labels) == 1
+                             and set(want) <= device_ok)
         if (not is_multiprocess()
                 and hasattr(data_generator, "cache_refs")
                 and (self.mesh is None
                      or getattr(data_generator, "mesh", None) is self.mesh)):
-            want = list(metrics or self.validation_metrics)
-            from fuxictr_tpu.metrics import DEVICE_METRIC_EXACT_ROWS
-            device_ok = {"AUC", "logloss", "binary_crossentropy"}
-            if self.feature_map.group_id is not None:
-                device_ok |= {"gAUC", "avgAUC"}
-            if (self.kwargs.get("device_metrics", True)
+            # in-cache group ids must live in the INT block — a float-block
+            # group_id cannot be sliced for the device grouped pass
+            cache_grouped_ok = True
+            if gid is not None and any(m in ("gAUC", "avgAUC")
+                                       for m in want):
+                from fuxictr_tpu.data.device_cache import cache_layout
+                layout, _, _ = cache_layout(self.feature_map)
+                cache_grouped_ok = (gid in layout
+                                    and layout[gid][0] == "int")
+            if (device_metrics_on
+                    and cache_grouped_ok
                     and self.mesh is None
-                    and self.task == "binary_classification"
-                    and len(self.feature_map.labels) == 1
                     and getattr(self, "_expander_src", None) is None
                     and int(getattr(data_generator, "num_samples", 0))
-                    <= DEVICE_METRIC_EXACT_ROWS
-                    and set(want) <= device_ok):
+                    <= DEVICE_METRIC_EXACT_ROWS):
                 # fully on-device path: predictions never leave the chip
                 # (metrics.py:device_metric_components /
                 # device_grouped_components, sklearn-exact AUC + gAUC)
@@ -1348,28 +1363,20 @@ class RankModel:
             logging.info("[Metrics] " + " - ".join(
                 f"{k}: {v:.6f}" for k, v in val_logs.items()))
             return val_logs
-        want = list(metrics or self.validation_metrics)
-        device_ok = {"AUC", "logloss", "binary_crossentropy"}
-        if self.feature_map.group_id is not None:
-            device_ok |= {"gAUC", "avgAUC"}
-        if (self.kwargs.get("device_metrics", True)
+        if (device_metrics_on
                 and self.mesh is not None
-                and not hasattr(data_generator, "cache_refs")
-                and self.task == "binary_classification"
-                and len(self.feature_map.labels) == 1
-                and set(want) <= device_ok):
+                and not hasattr(data_generator, "cache_refs")):
             # mesh / multi-host: keep predictions+labels as data-sharded
             # GLOBAL device arrays and compute metric components in one
             # jitted program over them (XLA partitions the sort and inserts
             # the collectives) — O(batch) host memory per process, replacing
-            # the all_gather_host O(dataset)-per-host eval (VERDICT r3 #4)
-            try:
-                val_logs = self._device_eval_streaming(data_generator, want)
-                logging.info("[Metrics] " + " - ".join(
-                    f"{k}: {v:.6f}" for k, v in val_logs.items()))
-                return val_logs
-            except OverflowError as exc:
-                logging.info("device metrics fallback: %s", exc)
+            # the all_gather_host O(dataset)-per-host eval (VERDICT r3 #4).
+            # Past the int32-exact bounds it host-combines from the SAME
+            # accumulated arrays (no second sweep), so it always returns.
+            val_logs = self._device_eval_streaming(data_generator, want)
+            logging.info("[Metrics] " + " - ".join(
+                f"{k}: {v:.6f}" for k, v in val_logs.items()))
+            return val_logs
         gather = all_gather_host if is_multiprocess() else np.asarray
         from fuxictr_tpu.data.device_cache import GROUP_KEY, LABELS_KEY
         for batch in data_generator:
@@ -1402,11 +1409,15 @@ class RankModel:
         over their sharded concatenation and only scalars reach the host
         (metrics.py:device_metric_components / device_grouped_components).
 
-        Raises OverflowError past the int32-exact bounds; evaluate()
-        falls back to the gather/host pass."""
+        Beyond the int32-exact bounds (total rows, or one group's rows for
+        gAUC) the metrics are instead combined on the HOST from the same
+        already-accumulated arrays — no second forward sweep, and the
+        data_generator is consumed exactly once (it may be a one-shot
+        generator)."""
         from fuxictr_tpu.metrics import (DEVICE_METRIC_EXACT_ROWS,
                                          device_grouped_components,
                                          device_metric_components,
+                                         evaluate_metrics,
                                          finish_device_grouped,
                                          finish_device_metrics)
         label = self.feature_map.labels[0]
@@ -1424,11 +1435,25 @@ class RankModel:
             if grouped:
                 gs.append(placed[gid].reshape(-1))
         y = jnp.concatenate(ys)
-        if y.shape[0] > DEVICE_METRIC_EXACT_ROWS:
-            raise OverflowError(
-                f"{y.shape[0]} rows exceed the int32-exact device bound")
         lab = jnp.concatenate(labs)
         valid = jnp.concatenate(ms) > 0
+        g = jnp.concatenate(gs) if gs else None
+
+        def host_combine():
+            # rare big-eval fallback: O(dataset) host memory, but no second
+            # forward sweep. all_gather_host resolves global sharded arrays
+            # on every process identically (no-op single-process).
+            from fuxictr_tpu.parallel.distributed import all_gather_host
+            m = all_gather_host(valid)
+            yt = all_gather_host(lab)[m].astype(np.float64)
+            yp = all_gather_host(y)[m].astype(np.float64)
+            gh = all_gather_host(g)[m] if g is not None else None
+            return evaluate_metrics(yt, yp, want, gh)
+
+        if y.shape[0] > DEVICE_METRIC_EXACT_ROWS:
+            logging.info("device metrics: %d rows exceed the int32-exact "
+                         "bound; combining on host", y.shape[0])
+            return host_combine()
         out = {}
         if scalar:
             if self._jit_metric_components is None:
@@ -1440,10 +1465,13 @@ class RankModel:
             if getattr(self, "_jit_grouped_components", None) is None:
                 self._jit_grouped_components = jax.jit(
                     device_grouped_components)
-            gcomps = self._jit_grouped_components(
-                y, lab, jnp.concatenate(gs), valid)
-            out.update(finish_device_grouped(jax.device_get(gcomps),
-                                             grouped))
+            gcomps = self._jit_grouped_components(y, lab, g, valid)
+            try:
+                out.update(finish_device_grouped(jax.device_get(gcomps),
+                                                 grouped))
+            except OverflowError as exc:
+                logging.info("device gAUC: %s; combining on host", exc)
+                return host_combine()
         return {m: out[m] for m in want}
 
     def predict(self, data_generator):

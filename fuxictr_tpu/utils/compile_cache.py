@@ -37,6 +37,12 @@ def enable_compilation_cache(cache_dir=None):
     if mode in ("0", "false", "off"):
         return None
     if _CACHE_DIR is not None:
+        if cache_dir and os.path.abspath(cache_dir) != _CACHE_DIR:
+            logging.warning(
+                "compile cache already initialized at %s; ignoring "
+                "compile_cache_dir=%s (the cache dir is process-wide — "
+                "set it on the FIRST model, or via "
+                "FUXICTR_COMPILE_CACHE_DIR)", _CACHE_DIR, cache_dir)
         return _CACHE_DIR
     import jax
     if mode != "1" and jax.default_backend() == "cpu":
@@ -46,9 +52,10 @@ def enable_compilation_cache(cache_dir=None):
         # kills is the remote-accelerator compile. Force with
         # FUXICTR_COMPILE_CACHE=1.
         return None
-    cache_dir = (cache_dir
-                 or os.environ.get("FUXICTR_COMPILE_CACHE_DIR")
-                 or os.path.expanduser("~/.cache/fuxictr_tpu/jax_cache"))
+    cache_dir = os.path.abspath(
+        cache_dir
+        or os.environ.get("FUXICTR_COMPILE_CACHE_DIR")
+        or os.path.expanduser("~/.cache/fuxictr_tpu/jax_cache"))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
