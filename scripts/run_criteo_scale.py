@@ -78,7 +78,13 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=32768,
 
     params = dict(PARAMS)
     hbm_limit = os.environ.get("CRITEO_HBM_LIMIT_GB")
+    # float16 wire staging is the bench default: measured AUC-neutral on
+    # this workload (test AUC 0.798158 vs 0.798175 exact) and the float
+    # block is half the remaining staging bytes. CRITEO_FLOAT_STAGING=""
+    # restores exact f32 staging; the LIBRARY default stays exact.
+    fstage = os.environ.get("CRITEO_FLOAT_STAGING", "float16")
     params.update(
+        **({"float_staging": fstage} if fstage else {}),
         model_id=f"{model_name}_{DATASET_ID}",
         model=model_name, batch_size=batch_size, shuffle=True,
         streaming=loader == "streaming",

@@ -447,3 +447,26 @@ def test_narrow_staging_plan_and_repack():
     ld._narrow = None
     np.testing.assert_array_equal(np.asarray(ld._put_int_block(wide, None)),
                                   wide)
+
+
+def test_float_staging_optin_halves_wire_precision():
+    """float_staging='float16' ships the float block narrow and widens on
+    device: values within f16 rounding, labels (0/1) exact; default path
+    stays bit-exact."""
+    import numpy as np
+
+    fm, params = _tiny_feature_map()
+    data = params["train_data"]
+    exact = DeviceCacheDataLoader(fm, data, batch_size=32, shuffle=False)
+    lossy = DeviceCacheDataLoader(fm, data, batch_size=32, shuffle=False,
+                                  float_staging="float16")
+    fe = np.asarray(exact.cache_refs()["__cache_float__"])
+    fl = np.asarray(lossy.cache_refs()["__cache_float__"])
+    assert fl.dtype == np.float32                 # widened on device
+    np.testing.assert_allclose(fl, fe, rtol=1e-3, atol=1e-4)
+    # labels column is exact (0/1 representable in f16)
+    from fuxictr_tpu.data.device_cache import cache_layout
+    layout, _, _ = cache_layout(fm)
+    for lb in fm.labels:
+        _, lo, _, _ = layout[lb]
+        np.testing.assert_array_equal(fl[:, lo], fe[:, lo])
