@@ -56,7 +56,11 @@ def phase_build():
           flush=True)
 
 
-def phase_train(model_name="PPNet", epochs=2, batch_size=8192):
+def phase_train(model_name="PPNet", epochs=2, batch_size=8192,
+                learning_rate=None):
+    if learning_rate is None:
+        # sqrt-scaling vs the B=8192 recipe lr 1e-3
+        learning_rate = 1e-3 * (batch_size / 8192) ** 0.5
     import numpy as np
 
     from fuxictr_tpu.config import set_logger
@@ -74,7 +78,7 @@ def phase_train(model_name="PPNet", epochs=2, batch_size=8192):
         train_data=f"{DATA_ROOT}/{DATASET_ID}/train/",
         valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
         test_data=f"{DATA_ROOT}/{DATASET_ID}/test/",
-        embedding_dim=16, learning_rate=1e-3,
+        embedding_dim=16, learning_rate=learning_rate,
         net_regularizer=None, embedding_regularizer=None,
         steps_per_call=32, compute_dtype="bfloat16",
         monitor="AUC", metrics=["AUC", "logloss"],
