@@ -210,3 +210,38 @@ def test_server_microbatch_mode(tmp_path):
     server.shutdown()
     got = np.concatenate([np.atleast_1d(r) for r in results])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_microbatch_oversize_request_fails_only_itself(tmp_path):
+    """A request larger than the largest AOT bucket errors back to ITS
+    caller; concurrent normal requests in the same window still succeed."""
+    import threading
+
+    import numpy as np
+
+    from fuxictr_tpu.serving.microbatch import MicroBatcher
+
+    pred, fm, batch = _bundle_predictor(tmp_path)
+    feats = {k: np.asarray(v) for k, v in batch.items() if k in fm.features}
+    mb = MicroBatcher(pred, linger_ms=20)
+    big = {k: np.concatenate([v] * 5) for k, v in feats.items()}  # 80 > 64
+    out = {}
+
+    def ok():
+        out["ok"] = mb.predict({k: v[:2] for k, v in feats.items()})
+
+    def too_big():
+        try:
+            mb.predict(big)
+            out["big"] = "no error"
+        except ValueError as exc:
+            out["big"] = exc
+
+    threads = [threading.Thread(target=f) for f in (ok, too_big)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert isinstance(out["big"], ValueError)
+    assert np.shape(out["ok"]) == (2,)
