@@ -93,7 +93,8 @@ def phase_train(model_name="DCNv2", epochs=1, batch_size=32768,
         train_data=f"{DATA_ROOT}/{DATASET_ID}/train/",
         valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
         test_data=f"{DATA_ROOT}/{DATASET_ID}/test/",
-        embedding_dim=16, learning_rate=learning_rate,
+        embedding_dim=int(os.environ.get("CRITEO_EMB_DIM", 16)),
+        learning_rate=learning_rate,
         net_regularizer=None, embedding_regularizer=None,
         steps_per_call=steps_per_call, compute_dtype=compute_dtype,
         monitor="AUC", metrics=["AUC", "logloss"],
