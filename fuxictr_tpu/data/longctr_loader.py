@@ -240,9 +240,25 @@ class LongCTRDeviceCacheLoader:
 
         from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
                                                    CACHE_INT_KEY)
+
+        def put_widened(x):
+            """Narrow-wire staging for the flat event array (the dominant
+            transfer at lifelong lengths): ship u16 when every id fits,
+            widen back to int32 on device — resident layout unchanged
+            (same scheme as device_cache._put_int_block)."""
+            import jax.numpy as jnp
+            if (kwargs.get("narrow_staging", True) and x.size
+                    and int(x.min()) >= 0
+                    and int(x.max()) <= np.iinfo(np.uint16).max):
+                widen = jax.jit(lambda a: a.astype(jnp.int32),
+                                out_shardings=placement)
+                return widen(put(np.ascontiguousarray(
+                    x.astype(np.uint16))))
+            return put(x)
+
         self._refs = {CACHE_INT_KEY: put(block_int),
                       CACHE_FLOAT_KEY: put(block_float),
-                      "__cache_useq__": put(flat),
+                      "__cache_useq__": put_widened(flat),
                       "__cache_uoff__": put(off.astype(np.int32))}
         if lut is not None:
             self._refs["__cache_ilut__"] = put(lut)
