@@ -226,3 +226,38 @@ def test_expert_parallel_mmoe_matches_single_device():
         jax.device_get(s1.params["experts"]["Dense_0"]["kernel"]),
         jax.device_get(s2.params["experts"]["Dense_0"]["kernel"]),
         atol=1e-5)
+
+
+def test_run_expid_use_mesh_end_to_end(tmp_path):
+    """The user-facing mesh path: ``use_mesh: true`` through run_expid
+    must build the (data x model) mesh, train GSPMD, stream evaluation
+    from sharded device arrays, and report metrics equal to the
+    single-device run of the same expid."""
+    from fuxictr_tpu.config import load_config
+    from fuxictr_tpu.experiment import run_expid
+
+    base = load_config("./configs/tiny", "DNN_test")
+    base.update(model_root=str(tmp_path), batch_size=32, verbose=0)
+
+    plain = run_expid("./configs/tiny", "DNN_test", params=dict(base))
+    meshed = run_expid("./configs/tiny", "DNN_test",
+                       params=dict(base, use_mesh=True, mesh_model_axis=2))
+    assert meshed["model"].mesh is not None
+    assert dict(meshed["model"].mesh.shape) == {"data": 4, "model": 2}
+    for k in plain["valid"]:
+        assert abs(plain["valid"][k] - meshed["valid"][k]) < 1e-4, k
+
+
+def test_run_expid_use_mesh_with_device_cache(tmp_path):
+    """use_mesh + device_cache: HBM blocks are placed ON the model's mesh
+    (the driver passes params['mesh']) and the device-epoch path runs."""
+    from fuxictr_tpu.config import load_config
+    from fuxictr_tpu.experiment import run_expid
+
+    base = load_config("./configs/tiny", "DNN_test")
+    base.update(model_root=str(tmp_path), batch_size=32, verbose=0,
+                use_mesh=True, mesh_model_axis=2, device_cache=True,
+                steps_per_call=2)
+    out = run_expid("./configs/tiny", "DNN_test", params=base)
+    assert np.isfinite(out["valid"]["AUC"])
+    assert out["model"].mesh is not None
