@@ -640,9 +640,23 @@ class RankModel:
                 mutable = list(state.model_state.keys()) or ["batch_stats"]
                 if lazy:
                     mutable = mutable + ["touched_rows"]
-                outputs, new_ms = net.apply(
-                    {"params": apply_params, **state.model_state}, batch,
-                    train=True, rngs={"dropout": rng}, mutable=mutable)
+
+                def fwd(apply_params, model_state, batch, rng):
+                    return net.apply(
+                        {"params": apply_params, **model_state}, batch,
+                        train=True, rngs={"dropout": rng}, mutable=mutable)
+
+                if self.kwargs.get("remat"):
+                    # rematerialize the forward in the backward pass: the
+                    # quadratic field-interaction models ([B,F,F] attention
+                    # maps, [pairs,D,B] bilinear products) keep O(B·F²)
+                    # activations alive for the backward, which is what
+                    # OOMs them at large batch — trade the FLOPs to
+                    # recompute instead (jax.checkpoint; TPU MXU FLOPs are
+                    # cheaper than HBM here, see BENCHMARKS roofline)
+                    fwd = jax.checkpoint(fwd)
+                outputs, new_ms = fwd(apply_params, state.model_state,
+                                      batch, rng)
                 if compute_dtype is not None:
                     outputs = {k: (v.astype(jnp.float32)
                                    if hasattr(v, "astype") else v)

@@ -58,6 +58,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--rng-impl", default=None)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     from fuxictr_tpu.config import set_logger
@@ -73,6 +74,7 @@ def main():
         valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
         embedding_dim=16, learning_rate=args.lr, net_dropout=0.1,
         **({"rng_impl": args.rng_impl} if args.rng_impl else {}),
+        **({"remat": True} if args.remat else {}),
         steps_per_call=32, compute_dtype="bfloat16", monitor="AUC",
         metrics=["AUC", "logloss"], epochs=args.epochs, verbose=1)
     set_logger(dict(base, model_id="zoo_bench"))
