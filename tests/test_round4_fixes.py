@@ -199,3 +199,21 @@ def test_legacy_bundle_without_layout_pin(tmp_path):
              if k in fm.features}
     got = pred.predict(feats)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_remat_knob_numerics_identical(tmp_path):
+    """remat: true (jax.checkpoint around the forward) must not change
+    training numerics — only the backward's memory/recompute schedule."""
+    import jax
+
+    fm = make_synthetic_feature_map(num_categorical=3, num_numeric=1,
+                                    vocab_size=32, embedding_dim=4)
+    batches = [make_synthetic_batch(fm, 16, seed=s) for s in range(3)]
+    plain = _dnn(fm, tmp_path / "p")
+    plain.fit(batches, epochs=1)
+    remat = _dnn(fm, tmp_path / "r", remat=True)
+    remat.fit(batches, epochs=1)
+    for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(plain.state.params)),
+            jax.tree_util.tree_leaves(jax.device_get(remat.state.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
