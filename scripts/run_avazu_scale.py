@@ -103,7 +103,9 @@ def phase_train(variant, model_name="DeepFM", epochs=2, batch_size=8192,
         train_data=f"{DATA_ROOT}/{dataset_id}/train/",
         valid_data=f"{DATA_ROOT}/{dataset_id}/valid/",
         test_data=f"{DATA_ROOT}/{dataset_id}/test/",
-        embedding_dim=embedding_dim, learning_rate=1e-3,
+        embedding_dim=embedding_dim,
+        # sqrt-scaled vs the B=8192 recipe (round-4 ladder)
+        learning_rate=1e-3 * (batch_size / 8192) ** 0.5,
         net_regularizer=None, embedding_regularizer=None,
         steps_per_call=32, compute_dtype="bfloat16",
         monitor="AUC", metrics=["AUC", "logloss"],
