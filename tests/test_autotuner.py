@@ -121,3 +121,25 @@ def test_shared_loaders_reused_and_reset(tmp_path):
     assert shared["loaders"] == loaders_before      # same objects reused
     r3 = run_expid(cfg, "DNN_test", params=dict(params))  # isolated
     assert abs(r2["valid"]["AUC"] - r3["valid"]["AUC"]) < 1e-6
+
+
+def test_shared_loader_cache_evicts_oldest(tmp_path):
+    """Warm-tuner loader cache keeps at most _LOADER_CACHE_KEEP sets per
+    stage — a batch_size grid must not pile up staged caches."""
+    from fuxictr_tpu.config import load_config
+    from fuxictr_tpu.experiment import _LOADER_CACHE_KEEP, run_expid
+
+    cfg = os.path.abspath("./configs/tiny")
+    base = load_config(cfg, "DNN_test")
+    base["model_root"] = str(tmp_path)
+    shared = {}
+    for bs in (16, 32, 64):
+        run_expid(cfg, "DNN_test", params=dict(base, batch_size=bs),
+                  shared=shared)
+    per_stage = {}
+    for key in shared["loaders"]:
+        per_stage[key[0]] = per_stage.get(key[0], 0) + 1
+    assert all(n <= _LOADER_CACHE_KEEP for n in per_stage.values()), \
+        per_stage
+    # the newest entry (batch_size=64) is among the survivors
+    assert any("64" in repr(k) for k in shared["loaders"])
