@@ -245,3 +245,32 @@ def test_microbatch_oversize_request_fails_only_itself(tmp_path):
     mb.close()
     assert isinstance(out["big"], ValueError)
     assert np.shape(out["ok"]) == (2,)
+
+
+def test_microbatch_close_drains_queue(tmp_path):
+    """close() after in-flight requests must not deadlock and must leave
+    every caller answered."""
+    import threading
+
+    import numpy as np
+
+    from fuxictr_tpu.serving.microbatch import MicroBatcher
+
+    pred, fm, batch = _bundle_predictor(tmp_path)
+    feats = {k: np.asarray(v)[:1] for k, v in batch.items()
+             if k in fm.features}
+    mb = MicroBatcher(pred, linger_ms=50)
+    done = []
+
+    def one():
+        done.append(np.shape(mb.predict(feats)))
+
+    threads = [threading.Thread(target=one) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    mb.close()
+    assert len(done) == 4
+    with pytest.raises(RuntimeError):
+        mb.predict(feats)             # closed batcher refuses new work
