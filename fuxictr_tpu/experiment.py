@@ -22,8 +22,8 @@ _LOADER_KEYS = (
     "batch_size", "data_format", "streaming", "device_cache", "shuffle",
     "seed", "host_id", "num_hosts", "hbm_limit_gb", "data_loader",
     "max_len", "group_id", "data_block_size", "device_shuffle",
-    "narrow_staging", "dedup_items", "dedup_min_bucket", "user_info",
-    "item_info", "buffer_size", "use_features")
+    "narrow_staging", "float_staging", "dedup_items", "dedup_min_bucket",
+    "user_info", "item_info", "buffer_size", "use_features")
 
 # at most this many loader sets stay alive per stage in warm-tuner mode —
 # a device-cache loader pins a multi-GB HBM block, so an unbounded cache

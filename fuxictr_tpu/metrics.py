@@ -283,15 +283,19 @@ def device_grouped_components(scores, labels, groups, mask):
     n = scores.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
 
-    # padded rows: sentinel group that sorts after every real group
-    g_key = jnp.where(mask, groups, jnp.iinfo(jnp.int32).max)
-    order = jnp.lexsort((scores, g_key))
-    g = g_key[order]
+    # padded rows sort after every real row via the mask itself as the
+    # primary sort key (NOT an in-band sentinel group id, which a real
+    # hashed id equal to int32.max would collide with); a mask transition
+    # is also a segment boundary, so padded rows can never share a segment
+    # with a real group even when their group ids coincide
+    order = jnp.lexsort((scores, groups, (~mask).astype(jnp.int32)))
+    g = groups[order]
     yp = scores[order]
     yt = labels[order]
     m = mask[order]
 
-    new_g = jnp.concatenate([jnp.ones((1,), bool), g[1:] != g[:-1]])
+    new_g = jnp.concatenate(
+        [jnp.ones((1,), bool), (g[1:] != g[:-1]) | (m[1:] != m[:-1])])
     seg = jnp.cumsum(new_g.astype(jnp.int32)) - 1      # dense group index
     # group start row of each row: running max of starts seen so far
     g_start = jax.lax.associative_scan(
@@ -332,6 +336,100 @@ def device_grouped_components(scores, labels, groups, mask):
 # int32 per-group rank2 sums stay exact while sum(rank2 over positives)
 # <= 2*size^2 < 2^31  =>  size <= ~32k rows per group
 DEVICE_GAUC_MAX_GROUP_ROWS = 32000
+
+
+def device_ranked_components(scores, labels, groups, mask, ks=()):
+    """Jittable grouped MRR / NDCG@k components (VERDICT r4 #5 — the device
+    twin of :func:`grouped_metrics`'s rank_metrics block, same semantics:
+    rows sorted by (group asc, score desc, row desc), per-group values
+    averaged with weight 1 over ALL real groups).
+
+    ``ks`` (static) lists the NDCG cutoffs wanted, in caller order. Like
+    the other device passes, padded rows sort last via the mask itself as
+    the primary key and mask transitions bound segments, so they can never
+    contaminate a real group. Per-group values are exact in f32 (groups
+    are small); the cross-group sums ride XLA's pairwise reduction, whose
+    error at ~1e5 groups stays below 1e-6 on the final mean.
+
+    Returns (mrr_sum, ndcg_sums[len(ks)], n_groups) device scalars;
+    combine with :func:`finish_device_ranked`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    scores = scores.astype(jnp.float32).reshape(-1)
+    labels = labels.astype(jnp.float32).reshape(-1)
+    groups = groups.astype(jnp.int32).reshape(-1)
+    mask = mask.reshape(-1).astype(bool)
+    n = scores.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    mkey = (~mask).astype(jnp.int32)
+
+    def group_positions(sort_vals):
+        """Sort by (mask, group asc, vals desc, row desc); return the
+        permutation, 0-based in-group position, dense segment id, and the
+        sorted new-group/mask flags. The dense segment numbering depends
+        only on the (mask, group) layers, so two calls index identical
+        segments."""
+        order = jnp.lexsort((-iota, -sort_vals, groups, mkey))
+        g = groups[order]
+        m = mask[order]
+        new_g = jnp.concatenate(
+            [jnp.ones((1,), bool), (g[1:] != g[:-1]) | (m[1:] != m[:-1])])
+        g_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(new_g, iota, 0))
+        pos = iota - g_start
+        seg = jnp.cumsum(new_g.astype(jnp.int32)) - 1
+        return order, pos, seg, new_g, m
+
+    order, pos, seg, new_g, m = group_positions(scores)
+    yt = jnp.where(m, labels[order], 0.0)
+    posf = pos.astype(jnp.float32)
+    seg_sum = partial(jax.ops.segment_sum, segment_ids=seg, num_segments=n)
+
+    # MRR: sum(yt/rank)/ (sum(yt)+eps) per group; empty/negative-only and
+    # padded segments contribute exactly 0 to the sum
+    mrr_g = seg_sum(yt / (posf + 1.0)) / (seg_sum(yt) + 1e-12)
+    mrr_sum = jnp.sum(mrr_g, dtype=jnp.float32)
+    n_groups = jnp.sum((new_g & m).astype(jnp.int32))
+
+    ndcg_sums = []
+    if ks:
+        order_i, pos_i, seg_i, _, m_i = group_positions(labels)
+        yt_ideal = jnp.where(m_i, labels[order_i], 0.0)
+        seg_sum_i = partial(jax.ops.segment_sum, segment_ids=seg_i,
+                            num_segments=n)
+        gains = jnp.power(2.0, yt) - 1.0
+        gains_i = jnp.power(2.0, yt_ideal) - 1.0
+        disc = 1.0 / jnp.log2(posf + 2.0)
+        disc_i = 1.0 / jnp.log2(pos_i.astype(jnp.float32) + 2.0)
+        for k in ks:
+            dcg = seg_sum(jnp.where(pos < k, gains * disc, 0.0))
+            idcg = seg_sum_i(jnp.where(pos_i < k, gains_i * disc_i, 0.0))
+            ndcg_sums.append(
+                jnp.sum(dcg / (idcg + 1e-12), dtype=jnp.float32))
+    ndcg_sums = (jnp.stack(ndcg_sums) if ndcg_sums
+                 else jnp.zeros((0,), jnp.float32))
+    return mrr_sum, ndcg_sums, n_groups
+
+
+def finish_device_ranked(components, metrics):
+    """Host combination of :func:`device_ranked_components`. ``metrics``
+    must list the same NDCG entries (in order) the components' ``ks``
+    were built from."""
+    mrr_sum, ndcg_sums, n_groups = [np.asarray(c) for c in components]
+    n = max(int(n_groups), 1)
+    out = OrderedDict()
+    i = 0
+    for m in metrics:
+        if m == "MRR":
+            out[m] = float(mrr_sum) / n
+        elif m.startswith("NDCG"):
+            out[m] = float(ndcg_sums[i]) / n
+            i += 1
+        else:
+            raise ValueError(f"metric={m} has no device ranked path.")
+    return out
 
 
 def finish_device_grouped(components, metrics):

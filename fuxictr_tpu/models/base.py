@@ -78,6 +78,20 @@ def _is_embedding_path(path, prefixes=None):
                for p in path)
 
 
+def _is_grouped_metric(m):
+    """Metrics needing a group_id: grouped AUCs + the ranked family."""
+    return m in ("gAUC", "avgAUC", "MRR") or m.startswith("NDCG")
+
+
+def _device_metric_supported(m, gid):
+    """Whether metric ``m`` has an exact on-device pass
+    (metrics.py: device_metric_components / device_grouped_components /
+    device_ranked_components)."""
+    if m in ("AUC", "logloss", "binary_crossentropy"):
+        return True
+    return gid is not None and _is_grouped_metric(m)
+
+
 def make_loss_fn(loss):
     """Map config loss names to logit-space losses."""
     if callable(loss):
@@ -209,6 +223,12 @@ class RankModel:
             # serving-only quantized table storage (ops/embedding.py);
             # fit() rejects it — see the guard there
             feature_map.table_dtype = kwargs["table_dtype"]
+        if "seq_slice_gather" in kwargs:
+            # sequence-history gathers route through a materialized
+            # vocab-slice temp when the field vocab is smaller than the
+            # flat id count (ops/embedding.py:_lookup_fused) — numerics
+            # identical; knob exists to disable for A/B measurement
+            feature_map.seq_slice_gather = kwargs["seq_slice_gather"]
         self._max_len = kwargs.get("max_len", 50)   # LongCTR batch layout
         self.validation_metrics = kwargs.get("metrics", ["AUC"])
         self.model_dir = os.path.join(kwargs.get("model_root", "./checkpoints"),
@@ -326,23 +346,53 @@ class RankModel:
             batch[SEQ_MASK_KEY] = np.ones((batch_size, L), np.float32)
         return batch
 
+    def _variable_shardings(self, init_p, rngs, example):
+        """Sharding tree for the whole variables dict, computed abstractly.
+
+        Table leaves (param_sharding: ``table_*``/``pretrain_*`` rows over
+        'model', expert stacks over 'model') get their mesh placement; every
+        other leaf — including non-'params' collections such as batch
+        stats — is replicated. The leading collection-name path component
+        is harmless to param_sharding (it matches on leaf names anywhere
+        in the path)."""
+        shapes = jax.eval_shape(init_p, rngs, example)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: param_sharding(self.mesh, path, leaf), shapes)
+
     def init_params(self):
         if self.state is not None:
             return
         self._rng, init_rng = jax.random.split(self._rng)
         example = self._example_batch()
+        rngs = {"params": init_rng, "dropout": init_rng}
+        init_p = partial(self.net.init, train=False)
+        self._born_sharded = False
         try:
             # one fused init program instead of op-by-op eager dispatch
             # (minutes of per-op round trips on a remote backend) — and it
-            # lands in the persistent compile cache like any other program
-            init_fn = timed_first_dispatch(
-                jax.jit(partial(self.net.init, train=False)), "init")
-            variables = init_fn({"params": init_rng, "dropout": init_rng},
-                                example)
+            # lands in the persistent compile cache like any other program.
+            #
+            # Born-sharded init (new architecture; the reference is
+            # single-device only, torch_utils.py:42-56): when a mesh is
+            # attached BEFORE init, out_shardings pins every table leaf to
+            # its row-sharded placement, so XLA materializes each shard
+            # directly on its own device — no device ever holds a full
+            # table, and the max trainable vocab scales with AGGREGATE
+            # slice HBM instead of one chip's.
+            if self.mesh is not None:
+                init_fn = timed_first_dispatch(
+                    jax.jit(init_p, out_shardings=self._variable_shardings(
+                        init_p, rngs, example)), "init")
+                variables = init_fn(rngs, example)
+                self._born_sharded = self.mesh
+            else:
+                init_fn = timed_first_dispatch(jax.jit(init_p), "init")
+                variables = init_fn(rngs, example)
         except Exception:
             variables = self.net.init(
                 {"params": init_rng, "dropout": init_rng},
                 example, train=False)
+            self._born_sharded = False
         params = variables["params"]
         # "touched_rows" is a per-step trace (lazy adam), not model state
         model_state = {k: v for k, v in variables.items()
@@ -381,40 +431,64 @@ class RankModel:
         return {"base": base,
                 "lazy": flax.traverse_util.unflatten_dict(lazy)}
 
+    def _sharded_opt_init(self, params):
+        """Opt-state init with out_shardings pinned from the param tree:
+        adam moments mirror params (their tree paths contain the param
+        names, so the same param_sharding rule applies), and jit alone
+        does not propagate input shardings to init outputs."""
+        opt_shapes = jax.eval_shape(self._init_opt_state, params)
+        opt_shardings = jax.tree_util.tree_map_with_path(
+            lambda p, l: param_sharding(self.mesh, p, l), opt_shapes)
+        return jax.jit(self._init_opt_state,
+                       out_shardings=opt_shardings)(params)
+
     def _build_state(self, params, model_state,
                      max_gradient_norm=10.0):
         self._ensure_optimizer(max_gradient_norm)
         self._resume_step = 0
+        if getattr(self, "_born_sharded", False):
+            # moments born sharded too — a replicated eager init here would
+            # transiently hold 2x full-table bytes on one device, defeating
+            # the born-sharded init
+            opt_state = self._sharded_opt_init(params)
+            step = jax.device_put(jnp.zeros((), jnp.int32),
+                                  replicated(self.mesh))
+        else:
+            opt_state = self._init_opt_state(params)
+            step = jnp.zeros((), jnp.int32)
         self.state = TrainState(
-            step=jnp.zeros((), jnp.int32), params=params,
-            model_state=model_state, opt_state=self._init_opt_state(params))
+            step=step, params=params,
+            model_state=model_state, opt_state=opt_state)
 
     def distribute(self, mesh):
         """Place the train state on a (data, model) mesh: embedding tables
-        row-sharded over 'model', dense params replicated, and re-init the
-        optimizer state so its moments inherit the param shardings.
+        row-sharded over 'model', dense params replicated, and the
+        optimizer moments matching the param shardings.
+
+        Called BEFORE any init (the run_expid flow), params are **born
+        sharded**: init runs as one jitted program with out_shardings, each
+        table shard materializes on its own device, and this method is a
+        no-op re-pin — no device ever holds a full table (see
+        :meth:`init_params`). Called on an existing single-device state
+        (e.g. after a pickle restore), it falls back to resharding the
+        materialized tree — which requires the full tree to fit one device.
 
         New TPU architecture — the reference is single-device only
         (SURVEY.md §2.6). Batches are sharded over 'data' in the train loop.
         """
+        self.mesh = mesh
         if self.state is None:
             self.init_params()
-        self.mesh = mesh
-        params = shard_params(mesh, self.state.params)
-        model_state = jax.device_put(self.state.model_state, replicated(mesh))
-        # adam moments mirror the params tree, so their tree paths contain the
-        # param names and the same sharding rule applies; jit alone does not
-        # propagate input shardings to init outputs, so pin out_shardings.
-        if getattr(self, "_tx", None) is None:
-            self._ensure_optimizer()
-        opt_shapes = jax.eval_shape(self._init_opt_state, params)
-        opt_shardings = jax.tree_util.tree_map_with_path(
-            lambda p, l: param_sharding(mesh, p, l), opt_shapes)
-        opt_state = jax.jit(self._init_opt_state,
-                            out_shardings=opt_shardings)(params)
-        self.state = TrainState(
-            step=jax.device_put(self.state.step, replicated(mesh)),
-            params=params, model_state=model_state, opt_state=opt_state)
+        if getattr(self, "_born_sharded", None) is not mesh:
+            params = shard_params(mesh, self.state.params)
+            model_state = jax.device_put(self.state.model_state,
+                                         replicated(mesh))
+            if getattr(self, "_tx", None) is None:
+                self._ensure_optimizer()
+            opt_state = self._sharded_opt_init(params)
+            self.state = TrainState(
+                step=jax.device_put(self.state.step, replicated(mesh)),
+                params=params, model_state=model_state, opt_state=opt_state)
         self._jit_train_step = None
         self._jit_predict_step = None
         self._jit_multi_step = None
@@ -855,6 +929,8 @@ class RankModel:
         scalar = [m for m in metrics
                   if m in ("AUC", "logloss", "binary_crossentropy")]
         grouped = [m for m in metrics if m in ("gAUC", "avgAUC")]
+        ranked = [m for m in metrics
+                  if m == "MRR" or m.startswith("NDCG")]
         if scalar:
             comps = self._jit_metric_components(y, lab, valid)
             out.update(finish_device_metrics(jax.device_get(comps), scalar))
@@ -866,7 +942,26 @@ class RankModel:
                 y, lab, jnp.concatenate(grps), valid)
             out.update(finish_device_grouped(
                 jax.device_get(gcomps), grouped))   # may raise Overflow
+        if ranked:
+            out.update(self._device_ranked(
+                y, lab, jnp.concatenate(grps), valid, ranked))
         return {m: out[m] for m in metrics}
+
+    def _device_ranked(self, y, lab, g, valid, ranked):
+        """Grouped MRR/NDCG@k on device (metrics.py:
+        device_ranked_components); jit cached per static cutoff tuple."""
+        from fuxictr_tpu.metrics import (device_ranked_components,
+                                         finish_device_ranked,
+                                         _parse_ndcg_k)
+        ks = tuple(_parse_ndcg_k(m) for m in ranked if m != "MRR")
+        cache = getattr(self, "_jit_ranked_components", None)
+        if cache is None:
+            cache = self._jit_ranked_components = {}
+        if ks not in cache:
+            cache[ks] = jax.jit(
+                partial(device_ranked_components, ks=ks))
+        comps = cache[ks](y, lab, g, valid)
+        return finish_device_ranked(jax.device_get(comps), ranked)
 
     def _cached_predictions(self, loader, chunk_size=32):
         """All predictions for a device-cache loader in natural row order
@@ -1327,14 +1422,12 @@ class RankModel:
                                                       is_multiprocess)
         from fuxictr_tpu.metrics import DEVICE_METRIC_EXACT_ROWS
         want = list(metrics or self.validation_metrics)
-        device_ok = {"AUC", "logloss", "binary_crossentropy"}
         gid = self.feature_map.group_id
-        if gid is not None:
-            device_ok |= {"gAUC", "avgAUC"}
         device_metrics_on = (self.kwargs.get("device_metrics", True)
                              and self.task == "binary_classification"
                              and len(self.feature_map.labels) == 1
-                             and set(want) <= device_ok)
+                             and all(_device_metric_supported(m, gid)
+                                     for m in want))
         if (not is_multiprocess()
                 and hasattr(data_generator, "cache_refs")
                 and (self.mesh is None
@@ -1342,7 +1435,7 @@ class RankModel:
             # in-cache group ids must live in the INT block — a float-block
             # group_id cannot be sliced for the device grouped pass
             cache_grouped_ok = True
-            if gid is not None and any(m in ("gAUC", "avgAUC")
+            if gid is not None and any(_is_grouped_metric(m)
                                        for m in want):
                 from fuxictr_tpu.data.device_cache import cache_layout
                 layout, _, _ = cache_layout(self.feature_map)
@@ -1352,8 +1445,11 @@ class RankModel:
                     and cache_grouped_ok
                     and self.mesh is None
                     and getattr(self, "_expander_src", None) is None
-                    and int(getattr(data_generator, "num_samples", 0))
+                    and int(getattr(data_generator, "num_samples",
+                                    DEVICE_METRIC_EXACT_ROWS + 1))
                     <= DEVICE_METRIC_EXACT_ROWS):
+                # fail-closed default: a loader without num_samples takes
+                # the host path rather than risking silent int32 overflow
                 # fully on-device path: predictions never leave the chip
                 # (metrics.py:device_metric_components /
                 # device_grouped_components, sklearn-exact AUC + gAUC)
@@ -1437,6 +1533,7 @@ class RankModel:
         label = self.feature_map.labels[0]
         gid = self.feature_map.group_id
         grouped = [m for m in want if m in ("gAUC", "avgAUC")]
+        ranked = [m for m in want if m == "MRR" or m.startswith("NDCG")]
         scalar = [m for m in want
                   if m in ("AUC", "logloss", "binary_crossentropy")]
         ys, labs, ms, gs = [], [], [], []
@@ -1446,7 +1543,7 @@ class RankModel:
             ys.append(y.reshape(-1))
             labs.append(placed[label].reshape(-1))
             ms.append(placed[SAMPLE_MASK_KEY].reshape(-1))
-            if grouped:
+            if grouped or ranked:
                 gs.append(placed[gid].reshape(-1))
         y = jnp.concatenate(ys)
         lab = jnp.concatenate(labs)
@@ -1486,6 +1583,8 @@ class RankModel:
             except OverflowError as exc:
                 logging.info("device gAUC: %s; combining on host", exc)
                 return host_combine()
+        if ranked:
+            out.update(self._device_ranked(y, lab, g, valid, ranked))
         return {m: out[m] for m in want}
 
     def predict(self, data_generator):
@@ -1513,9 +1612,17 @@ class RankModel:
             payload = flax.serialization.from_bytes(template, fd.read())
         # stage explicitly (bounded, observable) rather than letting the
         # next dispatch upload ~the whole model implicitly — large implicit
-        # transfers are where flaky remote backends stall
+        # transfers are where flaky remote backends stall. Under a mesh,
+        # place each leaf at its param_sharding so every device receives
+        # only its own table shard (the flat weights file itself is a full
+        # host-side copy; orbax checkpoints are the shard-native format).
         if self.mesh is None:
             payload = jax.device_put(payload)
+        else:
+            payload = {
+                "params": shard_params(self.mesh, payload["params"]),
+                "model_state": jax.device_put(payload["model_state"],
+                                              replicated(self.mesh))}
         self.state = self.state.replace(
             params=payload["params"], model_state=payload["model_state"])
         jax.block_until_ready(self.state.params)
@@ -1549,6 +1656,9 @@ class RankModel:
         else:
             with open(path, "rb") as fd:
                 self.state = pickle.load(fd)
+            # host arrays replaced the (possibly mesh-placed) state;
+            # a subsequent distribute() must actually reshard
+            self._born_sharded = False
         # host mirror of the restored step: fit() resumes periodic-ckpt
         # numbering from it without a device barrier on the hot path
         self._resume_step = int(jax.device_get(self.state.step))

@@ -317,6 +317,9 @@ class FeatureEmbedding(nn.Module):
     force_dim: int = None          # e.g. 1 for LogisticRegression weights
     pool_sequences: str = None     # "sum"/"average": pool all sequence fields
     size_buckets: Sequence[int] = None  # see EmbeddingLayout.size_buckets
+    seq_slice_gather: bool = None  # sequence fields gather via a
+    #   materialized vocab-slice temp when vocab < flat id count (see
+    #   _lookup_fused). None: resolve from feature_map (default True).
     table_dtype: str = None        # "int8": serving-only quantized tables
     #   (per-row symmetric scales; gather int8 rows + [*, 1] scales, multiply
     #   after the gather — 4x less HBM and 4x fewer gather bytes, the
@@ -443,12 +446,43 @@ class FeatureEmbedding(nn.Module):
         caller makes the collection mutable."""
         self.sow("touched_rows", tname, global_ids.reshape(-1))
 
+    def _seq_slice_enabled(self):
+        att = self.seq_slice_gather
+        if att is None:
+            att = getattr(self.feature_map, "seq_slice_gather", True)
+        return bool(att)
+
     def _lookup_fused(self, batch, plan, name, inv=None):
         table = self.tables[plan["table"]]
         ids = jnp.asarray(batch[name]).astype(jnp.int32)
         gids = ids + plan["offset"]
         self._sow_touched(plan["table"], gids)
-        if inv is None:
+        vocab = int(plan["spec"].get("vocab_size") or 0)
+        if (inv is None and plan["type"] == "sequence"
+                and 0 < vocab < ids.size and self._seq_slice_enabled()):
+            # vocab-slice gather (VERDICT r4 #2): the [B, L] history flat id
+            # count exceeds the field's whole vocab (measured Amazon-scale:
+            # 206k flat ids vs 63k items / 802 cates, dup 6x / 94x), and a
+            # gather's per-row cost grows with the SOURCE table size
+            # (BENCHMARKS.md: 2M rows cost 5.9ms from a 10k-row table vs
+            # 49.4ms from 2.6M rows). So materialize the field's contiguous
+            # vocab rows once (a V-row copy behind an optimization_barrier
+            # so XLA cannot fuse it back into a big-table gather) and issue
+            # the [B, L] gather + its scatter backward against the small
+            # temp; the slice's own backward is a contiguous block write.
+            # Numerics identical to the direct path.
+            temp = jax.lax.optimization_barrier(
+                jax.lax.dynamic_slice_in_dim(table, plan["offset"], vocab,
+                                             axis=0))
+            rows = table_gather(temp, ids)
+            if self.quantized:
+                sct = jax.lax.optimization_barrier(
+                    jax.lax.dynamic_slice_in_dim(
+                        self.table_scales[plan["table"]], plan["offset"],
+                        vocab, axis=0))
+                sc = table_gather(sct, ids)
+                rows = rows.astype(sc.dtype) * sc
+        elif inv is None:
             rows = table_gather(table, gids)
             if self.quantized:
                 sc = table_gather(self.table_scales[plan["table"]], gids)

@@ -26,6 +26,36 @@ from fuxictr_tpu.features import FeatureMap
 from fuxictr_tpu.models.base import SAMPLE_MASK_KEY
 
 
+def _infer_table_buckets(param_tree):
+    """Infer the table layout of a bundle that predates the layout pin.
+
+    Bundles exported before export.py pinned ``table_size_buckets`` may
+    have been built either with the legacy single-table-per-dim layout or
+    with the (later-default) size-bucketed one — the window between
+    bucketing becoming the default and export pinning it.  The saved param
+    names disambiguate: split buckets are named ``table_d{dim}b{k}``
+    (ops/embedding.py EmbeddingLayout), which the legacy layout never
+    produces.  A bucketed bundle whose fields all land in one bucket keeps
+    the legacy name AND the identical rows/offsets, so the legacy fallback
+    restores it correctly either way.
+    """
+    import re
+
+    found = False
+    stack = [param_tree]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if isinstance(k, str) and re.fullmatch(r"table_d\d+b\d+", k):
+                    found = True
+                stack.append(v)
+    if found:
+        from fuxictr_tpu.ops.embedding import DEFAULT_TABLE_SIZE_BUCKETS
+        return list(DEFAULT_TABLE_SIZE_BUCKETS)
+    return []
+
+
 def _bucket_for(n, buckets):
     for b in buckets:
         if n <= b:
@@ -55,12 +85,19 @@ class Predictor:
         params = dict(meta["params"])
         params.update(param_overrides)
         params.setdefault("model_root", os.path.join(export_dir, "_serve"))
-        # bundles exported before 0.4.0 carry no table-layout pin; they were
-        # built with the legacy single-table-per-dim layout (`()` disables
-        # size bucketing) — defaulting to the CURRENT bucketed layout would
-        # mismatch the saved param names/offsets. export.py pins the layout
-        # explicitly for every new bundle. (docs/SERVING.md "Migration")
-        params.setdefault("table_size_buckets", [])
+
+        with open(os.path.join(export_dir, "weights.msgpack"), "rb") as fd:
+            blob = flax.serialization.msgpack_restore(fd.read())
+
+        # bundles exported before 0.4.0 carry no table-layout pin; the
+        # layout they were ACTUALLY built with (legacy single-table-per-dim
+        # vs size-bucketed, which became the default before export started
+        # pinning it) is inferred from the saved param names — see
+        # _infer_table_buckets. export.py pins the layout explicitly for
+        # every new bundle. (docs/SERVING.md "Migration")
+        if "table_size_buckets" not in params:
+            params["table_size_buckets"] = _infer_table_buckets(
+                blob.get("params", {}))
         if quantize:
             if params.get("table_dtype") == quantize:
                 quantize = None     # bundle is already quantized (export-
@@ -81,8 +118,6 @@ class Predictor:
         self.model = get_model(meta["model"])(self.feature_map, **params)
         self.model.init_params()
 
-        with open(os.path.join(export_dir, "weights.msgpack"), "rb") as fd:
-            blob = flax.serialization.msgpack_restore(fd.read())
         import jax
         state = self.model.state
         if self.quantize:
