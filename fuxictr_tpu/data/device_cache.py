@@ -179,13 +179,36 @@ class DeviceCacheDataLoader:
 
         lo_row = 0
         hi_row = total
-        if num_hosts > 1 and mesh is not None:
-            raise ValueError(
-                "device cache does not support multi-host meshes: each "
-                "process stages a different local row slice, which cannot "
-                "be declared replicated on a global mesh — use the "
-                "streaming or in-memory loader for multi-host runs")
-        if num_hosts > 1:
+        self._multihost = num_hosts > 1 and mesh is not None
+        self._num_hosts = num_hosts
+        if self._multihost:
+            # multi-host mesh cache (VERDICT r4 #4): each process stages
+            # ONLY its contiguous row slice; the global blocks are
+            # assembled as 'data'-row-sharded jax.Arrays via
+            # make_array_from_process_local_data (no replication — the
+            # aggregate resident set scales with hosts). The epoch
+            # permutation is computed identically on every process (shared
+            # seed) over GLOBAL row ids; the jitted epoch scan then runs
+            # as one GSPMD program whose row gathers XLA lowers to
+            # collectives over the sharded blocks.
+            n_data = mesh.shape["data"]
+            if n_data % num_hosts != 0:
+                raise ValueError(
+                    f"device cache over a multi-host mesh needs the 'data' "
+                    f"axis ({n_data}) divisible by the process count "
+                    f"({num_hosts})")
+            spd = n_data // num_hosts   # data-shards this host owns
+            per = int(np.ceil(total / num_hosts))
+            per = int(np.ceil(per / spd)) * spd   # whole per-device shards
+            lo_row = host_id * per
+            hi_row = min(lo_row + per, total)
+            self._per_host_rows = per
+            self._n_rows = per * num_hosts        # GLOBAL program rows
+            # per-host valid counts are derivable on every process — the
+            # order/validity masks must agree everywhere
+            self._host_valid = np.clip(
+                total - per * np.arange(num_hosts), 0, per).astype(np.int32)
+        elif num_hosts > 1:
             per = int(np.ceil(total / num_hosts))
             lo_row = host_id * per
             hi_row = min(lo_row + per, total)
@@ -194,8 +217,11 @@ class DeviceCacheDataLoader:
             self._n_rows = total
         n_local = max(hi_row - lo_row, 0)
         self._n_valid = n_local
-        block_int = np.zeros((self._n_rows, wi), np.int32)
-        block_float = np.zeros((self._n_rows, wf), np.float32)
+        # multi-host mesh: the host arrays hold only THIS process's slice
+        local_rows = (self._per_host_rows if self._multihost
+                      else self._n_rows)
+        block_int = np.zeros((local_rows, wi), np.int32)
+        block_float = np.zeros((local_rows, wf), np.float32)
 
         row = 0
         for p, cnt in zip(parts, counts):
@@ -237,8 +263,13 @@ class DeviceCacheDataLoader:
         # HBM per epoch (double-buffered staging; see epoch_chunks)
         bytes_per_row = (block_int.dtype.itemsize * max(wi, 0)
                          + block_float.dtype.itemsize * max(wf, 0))
+        # narrow staging derives per-column dtypes from LOCAL min/max;
+        # across processes the plans could disagree and corrupt the
+        # assembled global block — ship canonical int32 on multi-host
+        # (the stage is host-local RAM -> local devices there anyway)
         self._narrow = (self._plan_narrow(block_int)
-                        if kwargs.get("narrow_staging", True) else None)
+                        if kwargs.get("narrow_staging", True)
+                        and not self._multihost else None)
         # OPT-IN lossy wire compression for the float block (numerics +
         # labels): ship as f16/bf16, cast back to f32 on device. Halves
         # the float wire bytes at ~1e-3 relative error on normalized
@@ -292,7 +323,12 @@ class DeviceCacheDataLoader:
             placement = None
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                placement = NamedSharding(mesh, P())
+                # single-host mesh: blocks replicated (every device sees
+                # all rows); multi-host: row-sharded over 'data' — each
+                # process contributes only its local slice and the
+                # aggregate resident set scales with hosts
+                placement = NamedSharding(
+                    mesh, P("data") if self._multihost else P())
             self._dev_int = self._put_int_block(block_int, placement)
             self._dev_float = self._put_float_block(block_float, placement)
             jax.block_until_ready((self._dev_int, self._dev_float))
@@ -335,6 +371,9 @@ class DeviceCacheDataLoader:
         import jax.numpy as jnp
 
         def put(x):
+            if getattr(self, "_multihost", False) and placement is not None:
+                # x is this process's local row slice of the global block
+                return jax.make_array_from_process_local_data(placement, x)
             return (jax.device_put(x, placement) if placement is not None
                     else jax.device_put(x))
 
@@ -376,6 +415,8 @@ class DeviceCacheDataLoader:
         import jax.numpy as jnp
 
         def put(x):
+            if getattr(self, "_multihost", False) and placement is not None:
+                return jax.make_array_from_process_local_data(placement, x)
             return (jax.device_put(x, placement) if placement is not None
                     else jax.device_put(x))
 
@@ -416,6 +457,21 @@ class DeviceCacheDataLoader:
                 CACHE_FLOAT_KEY: self._put_float_block(
                     self._host_float[lo:hi], None)}
 
+    def _row_validity(self, order):
+        """-1-mask invalid GLOBAL rows in an order array (numpy).
+
+        Single-host: rows >= _n_valid are padding. Multi-host: each host's
+        slice is tail-padded to ``_per_host_rows``, so validity is
+        (row %% per) < host_valid[row // per] — computable identically on
+        every process."""
+        if getattr(self, "_multihost", False):
+            per = self._per_host_rows
+            nv = self._host_valid[np.minimum(order // per,
+                                             self._num_hosts - 1)]
+            return np.where((order >= 0) & ((order % per) < nv),
+                            order, -1).astype(np.int32)
+        return np.where(order < self._n_valid, order, -1).astype(np.int32)
+
     def _chunk_order(self, lo, hi, epoch, chunk_id, shuffle):
         """Device order over chunk-LOCAL rows, -1-padded to a batch
         multiple."""
@@ -423,6 +479,24 @@ class DeviceCacheDataLoader:
         n = hi - lo
         nv = int(np.clip(self._n_valid - lo, 0, n))
         padded = int(np.ceil(n / self.batch_size)) * self.batch_size
+        if getattr(self, "_multihost", False):
+            # every process computes the SAME global permutation (shared
+            # seed, shared shapes) host-side, then contributes it as a
+            # fully-replicated global array. The device_shuffle jit would
+            # also agree (same threefry key), but its output lands
+            # process-local; replicating through
+            # make_array_from_process_local_data keeps the contract
+            # explicit. Order bytes are tiny next to the blocks.
+            order = np.arange(n, dtype=np.int32)
+            if shuffle:
+                np.random.default_rng(self.seed + epoch).shuffle(order)
+            order = self._row_validity(order)
+            if padded > n:
+                order = np.concatenate(
+                    [order, np.full(padded - n, -1, np.int32)])
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P()), order)
         if shuffle and not self.device_shuffle:
             order = np.arange(n, dtype=np.int32)
             seed = (self.seed + epoch if len(self._chunk_bounds) == 1
@@ -494,6 +568,12 @@ class DeviceCacheDataLoader:
         return self._chunk_order(lo, hi, epoch, 0, self.shuffle)
 
     def __iter__(self):
+        if getattr(self, "_multihost", False):
+            raise ValueError(
+                "multi-host device cache has no host-side batch iterator "
+                "(labels/rows are process-local slices of a global array); "
+                "fit/evaluate drive it through the device epoch and device "
+                "metric paths")
         if self.chunked:
             raise ValueError(
                 "chunked device cache is driven via epoch_chunks()/"

@@ -169,6 +169,14 @@ class LongCTRDeviceCacheLoader:
                  max_len=50, mesh=None, device_shuffle=True, **kwargs):
         import jax
 
+        if int(kwargs.get("num_hosts", 1) or 1) > 1 and mesh is not None:
+            raise NotImplementedError(
+                "LongCTR device-resident epochs are single-host-per-mesh: "
+                "the flat user-sequence and item side tables are staged "
+                "replicated, which a process-local row slice cannot "
+                "provide. Multi-host LongCTR runs use the host-join "
+                "LongCTRDataLoader (ranking-family caches DO support "
+                "multi-host meshes — data/device_cache.py).")
         if not str(data_path).endswith(".parquet"):
             data_path = str(data_path) + ".parquet"
         self.feature_map = feature_map

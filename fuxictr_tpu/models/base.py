@@ -863,11 +863,17 @@ class RankModel:
         g_lo = (layout[gid][1]
                 if gid in layout and layout[gid][0] == "int" else None)
 
-        @partial(jax.jit, static_argnums=(4,))
-        def run(state, cache, n_valid, start, chunk):
+        @partial(jax.jit, static_argnums=(5,))
+        def run(state, cache, host_valid, per, start, chunk):
+            # validity generalized to per-host-padded global layouts
+            # (multi-host mesh cache): row idx is valid iff its in-host
+            # offset (idx % per) is below that host's valid count.
+            # Single-host callers pass per >= all idx and host_valid=[nv],
+            # which reduces to the plain prefix test.
             def scan_body(_, j):
                 idx = start + j * B + jnp.arange(B, dtype=jnp.int32)
-                valid = idx < n_valid
+                h = jnp.clip(idx // per, 0, host_valid.shape[0] - 1)
+                valid = (idx % per) < jnp.take(host_valid, h)
                 safe = jnp.where(valid, idx, 0)
                 batch = dict(cache)
                 batch[ROWS_KEY] = safe
@@ -909,13 +915,20 @@ class RankModel:
         eval_fn = self._jit_cached_eval[B]
         if self._jit_metric_components is None:
             self._jit_metric_components = jax.jit(device_metric_components)
+        multihost = getattr(loader, "_multihost", False)
         ys, labs, grps, valids = [], [], [], []
         for cache, num_batches, n_valid, _base in loader.eval_chunks():
+            if multihost:
+                host_valid = jnp.asarray(loader._host_valid, jnp.int32)
+                per = jnp.asarray(loader._per_host_rows, jnp.int32)
+            else:
+                host_valid = jnp.asarray([n_valid], jnp.int32)
+                per = jnp.asarray(num_batches * B, jnp.int32)
             done = 0
             while done < num_batches:
                 chunk = int(min(chunk_size, num_batches - done))
                 y, lab, grp, valid = eval_fn(
-                    self.state, cache, jnp.asarray(n_valid, jnp.int32),
+                    self.state, cache, host_valid, per,
                     jnp.asarray(done * B, jnp.int32), chunk)
                 ys.append(y)
                 labs.append(lab)
@@ -1428,6 +1441,31 @@ class RankModel:
                              and len(self.feature_map.labels) == 1
                              and all(_device_metric_supported(m, gid)
                                      for m in want))
+        if (is_multiprocess() and hasattr(data_generator, "cache_refs")
+                and getattr(data_generator, "_multihost", False)):
+            # multi-host device cache (VERDICT r4 #4): predictions, labels
+            # and groups are slices of 'data'-row-sharded global blocks —
+            # no process can host-combine them, so evaluation MUST stay on
+            # device (the metric components are replicated scalars,
+            # identical on every process).
+            if getattr(data_generator, "mesh", None) is not self.mesh:
+                raise ValueError(
+                    "multi-host device-cache eval needs the loader staged "
+                    "on the model's mesh")
+            if not device_metrics_on:
+                raise NotImplementedError(
+                    f"multi-host device-cache eval supports only the exact "
+                    f"device metrics; got {want}")
+            if (int(getattr(data_generator, "num_samples", 0))
+                    > DEVICE_METRIC_EXACT_ROWS):
+                raise NotImplementedError(
+                    "dataset exceeds the int32-exact device-metric bound; "
+                    "use the streaming loader for multi-host eval at this "
+                    "scale")
+            val_logs = self._device_eval(data_generator, want)
+            logging.info("[Metrics] " + " - ".join(
+                f"{k}: {v:.6f}" for k, v in val_logs.items()))
+            return val_logs
         if (not is_multiprocess()
                 and hasattr(data_generator, "cache_refs")
                 and (self.mesh is None
