@@ -110,9 +110,10 @@ def run_expid(config_dir, experiment_id, result_file=None, params=None,
         mesh = make_mesh(n_model=int(params.get("mesh_model_axis", 1)))
         model.distribute(mesh)
         # device-cache loaders must place their HBM blocks ON this mesh
-        # (loader.mesh is model.mesh gates the device-epoch path); for
-        # multi-host runs DeviceCacheDataLoader itself rejects the combo
-        # with a clear error instead of staging inconsistent replicas
+        # (loader.mesh is model.mesh gates the device-epoch path). On
+        # multi-host runs each process stages its local row slice into
+        # 'data'-row-sharded global blocks (data/device_cache.py
+        # multi-host mode; exact-parity-tested in tests/test_distributed.py)
         if params.get("device_cache"):
             params.setdefault("mesh", mesh)
         shared = None    # mesh identity is per-expid: no loader reuse

@@ -1481,7 +1481,6 @@ class RankModel:
                                     and layout[gid][0] == "int")
             if (device_metrics_on
                     and cache_grouped_ok
-                    and self.mesh is None
                     and getattr(self, "_expander_src", None) is None
                     and int(getattr(data_generator, "num_samples",
                                     DEVICE_METRIC_EXACT_ROWS + 1))
@@ -1490,7 +1489,11 @@ class RankModel:
                 # the host path rather than risking silent int32 overflow
                 # fully on-device path: predictions never leave the chip
                 # (metrics.py:device_metric_components /
-                # device_grouped_components, sklearn-exact AUC + gAUC)
+                # device_grouped_components, sklearn-exact AUC + gAUC).
+                # Mesh-staged caches take it too (round 5): the cached-eval
+                # scan is a plain GSPMD program over the (replicated or
+                # row-sharded) blocks — the multi-host branch above already
+                # relies on exactly this.
                 try:
                     val_logs = self._device_eval(data_generator, want)
                     logging.info("[Metrics] " + " - ".join(

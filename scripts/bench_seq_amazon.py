@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--models", default=",".join(MODEL_PARAMS))
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--seq-slice", default="1", choices=["0", "1"],
+                    help="A/B the vocab-slice history gather "
+                         "(ops/embedding.py seq_slice_gather)")
     args = ap.parse_args()
 
     from fuxictr_tpu.config import set_logger
@@ -88,6 +91,7 @@ def main():
     for name in args.models.split(","):
         params = dict(base, model=name,
                       model_id=f"{name}_seq_{DATASET_ID}",
+                      seq_slice_gather=args.seq_slice == "1",
                       **MODEL_PARAMS.get(name, {}))
         seed_everything(2019)
         model = get_model(name)(fm, **params)
@@ -99,7 +103,8 @@ def main():
                       epochs=args.epochs)
             logs = model.evaluate(valid_gen)
             print(json.dumps({
-                "model": name, "total_s": round(time.time() - t0, 1),
+                "model": name, "seq_slice": args.seq_slice,
+                "total_s": round(time.time() - t0, 1),
                 "epoch_rates": handler.rates,
                 "steady_examples_per_s": max(handler.rates or [0]),
                 "valid_AUC": round(float(logs["AUC"]), 6),

@@ -57,6 +57,9 @@ def _build(params_over=None):
         net_regularizer=None, embedding_regularizer=None,
         monitor="AUC", metrics=["AUC", "logloss"],
         reduce_lr_on_plateau=True, verbose=1,
+        # quarter-epoch evals: periodic ckpts land 4x/epoch and the parent
+        # can observe "Train loss" lines INSIDE epoch 2 to time the kill
+        eval_steps=250,
         periodic_ckpt=1, periodic_ckpt_keep=KEEP,
         train_data=f"{DATA_ROOT}/{DATASET_ID}/train/",
         valid_data=f"{DATA_ROOT}/{DATASET_ID}/valid/",
@@ -68,7 +71,7 @@ def _build(params_over=None):
                       stacked_dnn_hidden_units=[16],
                       parallel_dnn_hidden_units=[16], num_cross_layers=1,
                       steps_per_call=4, compute_dtype=None,
-                      float_staging=None, rng_impl=None)
+                      float_staging=None, rng_impl=None, eval_steps=50)
     params.update(params_over or {})
     set_logger(params)
     seed_everything(2019)
@@ -89,6 +92,11 @@ def worker(mode):
     """mode=victim: train 2 epochs (parent kills us in epoch 2).
     mode=control: train 2 epochs to completion.
     mode=resume: restore latest periodic ckpt, train 1 more epoch."""
+    if os.environ.get("DRILL_PLATFORM") == "cpu":
+        # CPU smoke: the axon sitecustomize force-updates jax_platforms to
+        # "axon,cpu"; env alone cannot counter it (verify-skill gotcha)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     model, train_gen, valid_gen, test_gen = _build()
     if mode == "resume":
         ck = model.latest_checkpoint(model.periodic_ckpt_dir)
