@@ -437,6 +437,17 @@ class DeviceCacheDataLoader:
     def __len__(self):
         return self.num_batches
 
+    def eval_slots(self, feature_map):
+        """(label_col_in_float_block, group_col_in_int_block_or_None) for
+        the on-device eval kernel (models/base.py:_cache_eval_slots) —
+        this loader packs by the canonical cache_layout."""
+        layout = self._layout
+        _, lab_lo, _, _ = layout[feature_map.labels[0]]
+        gid = getattr(feature_map, "group_id", None)
+        g_lo = (layout[gid][1]
+                if gid in layout and layout[gid][0] == "int" else None)
+        return lab_lo, g_lo
+
     def cache_refs(self):
         """The device-resident packed blocks, keyed as batch entries."""
         if self.chunked:

@@ -166,17 +166,10 @@ class LongCTRDeviceCacheLoader:
 
     def __init__(self, feature_map, data_path, split="train", batch_size=32,
                  shuffle=False, seed=2019, user_info=None, item_info=None,
-                 max_len=50, mesh=None, device_shuffle=True, **kwargs):
+                 max_len=50, mesh=None, device_shuffle=True, host_id=0,
+                 num_hosts=1, **kwargs):
         import jax
 
-        if int(kwargs.get("num_hosts", 1) or 1) > 1 and mesh is not None:
-            raise NotImplementedError(
-                "LongCTR device-resident epochs are single-host-per-mesh: "
-                "the flat user-sequence and item side tables are staged "
-                "replicated, which a process-local row slice cannot "
-                "provide. Multi-host LongCTR runs use the host-join "
-                "LongCTRDataLoader (ranking-family caches DO support "
-                "multi-host meshes — data/device_cache.py).")
         if not str(data_path).endswith(".parquet"):
             data_path = str(data_path) + ".parquet"
         self.feature_map = feature_map
@@ -191,8 +184,36 @@ class LongCTRDeviceCacheLoader:
         df = pd.read_parquet(data_path)
         n = len(df)
         self.num_samples = n
-        self.num_batches = int(np.ceil(n / batch_size))
-        self._n_rows = self.num_batches * batch_size
+        self._multihost = num_hosts > 1 and mesh is not None
+        self._num_hosts = num_hosts
+        if self._multihost:
+            # multi-host mesh (VERDICT r4 #4, LongCTR flavor): the
+            # INTERACTION blocks shard row-wise over 'data' (each process
+            # stages only its contiguous slice), while the user-sequence
+            # and item SIDE tables — read in full by every process from
+            # the shared parquet files — stay replicated. The device join
+            # then runs as one GSPMD program.
+            n_data = mesh.shape["data"]
+            if n_data % num_hosts != 0:
+                raise ValueError(
+                    f"LongCTR device cache over a multi-host mesh needs "
+                    f"the 'data' axis ({n_data}) divisible by the process "
+                    f"count ({num_hosts})")
+            spd = n_data // num_hosts
+            per = int(np.ceil(n / num_hosts))
+            per = int(np.ceil(per / spd)) * spd
+            self._per_host_rows = per
+            self._host_valid = np.clip(
+                n - per * np.arange(num_hosts), 0, per).astype(np.int32)
+            self._n_rows = per * num_hosts
+            lo_row = host_id * per
+            local_rows = per
+        else:
+            self.num_batches = int(np.ceil(n / batch_size))
+            self._n_rows = self.num_batches * batch_size
+            lo_row = 0
+            local_rows = self._n_rows
+        self.num_batches = int(np.ceil(self._n_rows / batch_size))
         self._n_valid = n
         self._chunk_bounds = [(0, self._n_rows)]
 
@@ -201,15 +222,19 @@ class LongCTRDeviceCacheLoader:
                       if spec.get("source") != "item" and f in df.columns]
         self._int_cols = ["user_index", "item_index", "seq_len"] + user_feats
         self._user_feats = user_feats
-        block_int = np.zeros((self._n_rows, len(self._int_cols)), np.int32)
+        sl = slice(lo_row, lo_row + local_rows)
+        n_local = max(min(n - lo_row, local_rows), 0)
+        block_int = np.zeros((local_rows, len(self._int_cols)), np.int32)
         for j, c in enumerate(self._int_cols):
-            block_int[:n, j] = df[c].to_numpy().astype(np.int32)
+            block_int[:n_local, j] = \
+                df[c].to_numpy()[sl].astype(np.int32)
         # ---- float block: labels
         labels = list(feature_map.labels)
         self._labels = labels
-        block_float = np.zeros((self._n_rows, len(labels)), np.float32)
+        block_float = np.zeros((local_rows, len(labels)), np.float32)
         for j, c in enumerate(labels):
-            block_float[:n, j] = df[c].to_numpy().astype(np.float32)
+            block_float[:n_local, j] = \
+                df[c].to_numpy()[sl].astype(np.float32)
         self.host_labels = block_float.copy()
 
         gid = getattr(feature_map, "group_id", None)
@@ -238,13 +263,28 @@ class LongCTRDeviceCacheLoader:
             lut[idx_map] = np.arange(len(idx_map), dtype=np.int32)
 
         placement = None
+        blk_placement = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             placement = NamedSharding(mesh, P())
+            blk_placement = (NamedSharding(mesh, P("data"))
+                             if self._multihost else placement)
 
         def put(x):
+            """Side tables: identical full copies on every process."""
+            if self._multihost:
+                return jax.make_array_from_process_local_data(placement, x)
             return (jax.device_put(x, placement) if placement is not None
                     else jax.device_put(x))
+
+        def put_block(x):
+            """Interaction blocks: this process's row slice of the
+            'data'-sharded global array (replicated single-host)."""
+            if self._multihost:
+                return jax.make_array_from_process_local_data(
+                    blk_placement, x)
+            return (jax.device_put(x, blk_placement)
+                    if blk_placement is not None else jax.device_put(x))
 
         from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
                                                    CACHE_INT_KEY)
@@ -253,7 +293,9 @@ class LongCTRDeviceCacheLoader:
             """Narrow-wire staging for the flat event array (the dominant
             transfer at lifelong lengths): ship u16 when every id fits,
             widen back to int32 on device — resident layout unchanged
-            (same scheme as device_cache._put_int_block)."""
+            (same scheme as device_cache._put_int_block). Replicated:
+            every process computes the identical plan from the same full
+            array, so multi-host stays consistent."""
             import jax.numpy as jnp
             if (kwargs.get("narrow_staging", True) and x.size
                     and int(x.min()) >= 0
@@ -264,8 +306,8 @@ class LongCTRDeviceCacheLoader:
                     x.astype(np.uint16))))
             return put(x)
 
-        self._refs = {CACHE_INT_KEY: put(block_int),
-                      CACHE_FLOAT_KEY: put(block_float),
+        self._refs = {CACHE_INT_KEY: put_block(block_int),
+                      CACHE_FLOAT_KEY: put_block(block_float),
                       "__cache_useq__": put_widened(flat),
                       "__cache_uoff__": put(off.astype(np.int32))}
         if lut is not None:
@@ -284,6 +326,12 @@ class LongCTRDeviceCacheLoader:
     def __iter__(self):
         """Per-batch fallback (steps_per_call=1): index batches over the
         resident refs, same contract as DeviceCacheDataLoader.__iter__."""
+        if self._multihost:
+            raise ValueError(
+                "multi-host LongCTR device cache has no host-side batch "
+                "iterator (labels/rows are process-local slices); "
+                "fit/evaluate drive it through the device epoch and "
+                "device metric paths")
         from fuxictr_tpu.data.device_cache import (GROUP_KEY, LABELS_KEY,
                                                    ROWS_KEY)
         order = np.arange(self._n_rows, dtype=np.int32)
@@ -307,10 +355,27 @@ class LongCTRDeviceCacheLoader:
             yield batch
 
     # --- device-cache protocol (reuses DeviceCacheDataLoader's drivers)
+    def eval_slots(self, feature_map):
+        """This loader's packed layout differs from the canonical
+        cache_layout (float block = labels only; int block =
+        user_index/item_index/seq_len/user-features), so the on-device
+        eval kernel must take ITS column slots (a cache_layout-derived
+        slot would silently read the wrong column —
+        models/base.py:_cache_eval_slots)."""
+        lab_lo = self._labels.index(feature_map.labels[0])
+        gid = getattr(feature_map, "group_id", None)
+        g_lo = (self._int_cols.index(gid)
+                if gid is not None and gid in self._int_cols else None)
+        return lab_lo, g_lo
+
     def cache_refs(self):
         return dict(self._refs)
 
     _stage_chunk = lambda self, lo, hi: self.cache_refs()
+
+    def _row_validity(self, order):
+        from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+        return DeviceCacheDataLoader._row_validity(self, order)
 
     def _chunk_order(self, lo, hi, epoch, chunk_id, shuffle):
         from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader

@@ -844,24 +844,35 @@ class RankModel:
 
         return run
 
-    def _make_cached_eval(self, batch_size):
-        """Like :meth:`_make_cached_predict` but also returns each row's
-        label (sliced from the device cache's float block), group id (int
-        block, when the FeatureMap declares one) and validity mask — the
-        building blocks of fully on-device evaluation incl. gAUC."""
-        from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
-                                                   CACHE_INT_KEY,
-                                                   cache_layout)
-        body = self._predict_body()
-        B = int(batch_size)
-        label = self.feature_map.labels[0]
+    def _cache_eval_slots(self, loader):
+        """(label_col, group_col_or_None) in the loader's PACKED blocks.
+
+        Loaders with custom block layouts (LongCTR) provide ``eval_slots``;
+        the default derives them from the canonical cache_layout. The
+        group slot must point into the INT block — a wrong or float-block
+        column would silently corrupt grouped metrics, so None disables
+        the grouped device path (evaluate() gates on it)."""
+        slots_fn = getattr(loader, "eval_slots", None)
+        if slots_fn is not None:
+            return slots_fn(self.feature_map)
+        from fuxictr_tpu.data.device_cache import cache_layout
         layout, _, _ = cache_layout(self.feature_map)
-        _, lab_lo, _, _ = layout[label]
+        _, lab_lo, _, _ = layout[self.feature_map.labels[0]]
         gid = getattr(self.feature_map, "group_id", None)
-        # int block only: a float-block group_id would silently index the
-        # wrong column — evaluate() gates the grouped device path on this
         g_lo = (layout[gid][1]
                 if gid in layout and layout[gid][0] == "int" else None)
+        return lab_lo, g_lo
+
+    def _make_cached_eval(self, batch_size, lab_lo, g_lo):
+        """Like :meth:`_make_cached_predict` but also returns each row's
+        label (sliced from the device cache's float block at ``lab_lo``),
+        group id (int block col ``g_lo``, when the FeatureMap declares
+        one) and validity mask — the building blocks of fully on-device
+        evaluation incl. gAUC."""
+        from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
+                                                   CACHE_INT_KEY)
+        body = self._predict_body()
+        B = int(batch_size)
 
         @partial(jax.jit, static_argnums=(5,))
         def run(state, cache, host_valid, per, start, chunk):
@@ -909,10 +920,12 @@ class RankModel:
         if not isinstance(self._jit_cached_eval, dict):
             self._jit_cached_eval = {}
         B = loader.batch_size
-        if B not in self._jit_cached_eval:
-            self._jit_cached_eval[B] = timed_first_dispatch(
-                self._make_cached_eval(B), "cached_eval")
-        eval_fn = self._jit_cached_eval[B]
+        lab_lo, g_lo = self._cache_eval_slots(loader)
+        key = (B, lab_lo, g_lo)
+        if key not in self._jit_cached_eval:
+            self._jit_cached_eval[key] = timed_first_dispatch(
+                self._make_cached_eval(B, lab_lo, g_lo), "cached_eval")
+        eval_fn = self._jit_cached_eval[key]
         if self._jit_metric_components is None:
             self._jit_metric_components = jax.jit(device_metric_components)
         multihost = getattr(loader, "_multihost", False)
@@ -1456,6 +1469,12 @@ class RankModel:
                 raise NotImplementedError(
                     f"multi-host device-cache eval supports only the exact "
                     f"device metrics; got {want}")
+            if (gid is not None
+                    and any(_is_grouped_metric(m) for m in want)
+                    and self._cache_eval_slots(data_generator)[1] is None):
+                raise NotImplementedError(
+                    "grouped metrics need the group_id at a named int-block "
+                    "slot in this loader's packed layout")
             if (int(getattr(data_generator, "num_samples", 0))
                     > DEVICE_METRIC_EXACT_ROWS):
                 raise NotImplementedError(
@@ -1470,18 +1489,20 @@ class RankModel:
                 and hasattr(data_generator, "cache_refs")
                 and (self.mesh is None
                      or getattr(data_generator, "mesh", None) is self.mesh)):
-            # in-cache group ids must live in the INT block — a float-block
-            # group_id cannot be sliced for the device grouped pass
+            # in-cache group ids must live in the INT block at a slot the
+            # loader can actually name — a wrong column would silently
+            # corrupt grouped metrics (loaders with custom layouts provide
+            # eval_slots; _cache_eval_slots returns None to disable)
             cache_grouped_ok = True
             if gid is not None and any(_is_grouped_metric(m)
                                        for m in want):
-                from fuxictr_tpu.data.device_cache import cache_layout
-                layout, _, _ = cache_layout(self.feature_map)
-                cache_grouped_ok = (gid in layout
-                                    and layout[gid][0] == "int")
+                cache_grouped_ok = (
+                    self._cache_eval_slots(data_generator)[1] is not None)
             if (device_metrics_on
                     and cache_grouped_ok
-                    and getattr(self, "_expander_src", None) is None
+                    and (getattr(data_generator, "eval_slots", None)
+                         is not None
+                         or getattr(self, "_expander_src", None) is None)
                     and int(getattr(data_generator, "num_samples",
                                     DEVICE_METRIC_EXACT_ROWS + 1))
                     <= DEVICE_METRIC_EXACT_ROWS):

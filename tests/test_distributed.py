@@ -244,3 +244,116 @@ def test_two_process_device_cache_matches_single_process():
     # 2-process sharded cache == 1-process replicated cache, step for step
     np.testing.assert_allclose(l0, ls, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(e0, es, rtol=1e-5, atol=1e-6)
+
+
+# ----------------------------------------------- LongCTR cache x 2-proc
+# Same contract for the LongCTR device-resident loader: interaction blocks
+# row-shard over 'data' per process, the user-sequence/item side tables
+# stay replicated (every process reads the full shared parquet), and the
+# on-device join + eval run as one GSPMD program.
+
+LONGCTR_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from fuxictr_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize() == %(multi)s
+    assert jax.device_count() == 8, jax.device_count()
+
+    from fuxictr_tpu.data.longctr_loader import LongCTRDeviceCacheLoader
+    from fuxictr_tpu.features import FeatureMap
+    from fuxictr_tpu.models.registry import MODEL_REGISTRY
+    from fuxictr_tpu.parallel import make_mesh
+    import fuxictr_tpu.models.zoo  # noqa: F401
+
+    root = os.path.join(%(repo)r, "data", "tiny_longctr")
+    fm = FeatureMap("tiny_longctr", root)
+    fm.load(os.path.join(root, "feature_map.json"), {})
+
+    model = MODEL_REGISTRY["SIM"](
+        fm, model_id="SIM_dist_%(tag)s", embedding_dim=8, attention_dim=8,
+        dnn_hidden_units=(16,), topk=3, short_seq_len=2, max_len=12,
+        steps_per_call=2, batch_norm=False,
+        model_root="/tmp/dist_longctr_%(tag)s")
+    mesh = make_mesh(n_data=4, n_model=2)
+    model.distribute(mesh)
+
+    loader = LongCTRDeviceCacheLoader(
+        fm, os.path.join(root, "train.parquet"), batch_size=16,
+        shuffle=True, seed=2019, mesh=mesh, device_shuffle=False,
+        user_info=os.path.join(root, "user_info.parquet"),
+        item_info=os.path.join(root, "item_info.parquet"), max_len=12,
+        host_id=jax.process_index(), num_hosts=jax.process_count())
+    if %(multi)s:
+        assert loader._multihost
+        blk = loader.cache_refs()["__cache_int__"]
+        assert blk.shape[0] == 96
+        for s in blk.addressable_shards:
+            assert s.data.shape[0] == 24, s.data.shape
+        # side tables replicated: every shard holds the full array
+        useq = loader.cache_refs()["__cache_useq__"]
+        for s in useq.addressable_shards:
+            assert s.data.shape == useq.shape
+
+    losses = []
+    import logging
+    class Grab(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if msg.startswith("Train loss:"):
+                losses.append(float(msg.split()[2]))
+    logging.getLogger().setLevel(logging.INFO)
+    logging.getLogger().addHandler(Grab())
+    model.fit(loader, validation_data=None, epochs=2)
+
+    logs = model.evaluate(loader, metrics=["AUC", "logloss"])
+    print("LOSSES", " ".join("%%.8f" %% l for l in losses))
+    print("EVAL", "%%.8f %%.8f" %% (logs["AUC"], logs["logloss"]))
+""")
+
+
+def test_two_process_longctr_cache_matches_single_process():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    def spawn(tag, multi, env_extra):
+        env = dict(os.environ)
+        env.update({
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4"
+            if multi else "--xla_force_host_platform_device_count=8",
+            "PALLAS_AXON_POOL_IPS": "",
+            "JAX_PLATFORMS": "cpu",
+        })
+        env.update(env_extra)
+        return subprocess.Popen(
+            [sys.executable, "-c",
+             LONGCTR_WORKER % {"repo": REPO, "multi": multi, "tag": tag}],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+
+    workers = [
+        spawn(f"lmp{i}", True, {
+            "FUXICTR_COORDINATOR": coord,
+            "FUXICTR_NUM_PROCESSES": "2",
+            "FUXICTR_PROCESS_ID": str(i),
+        }) for i in range(2)]
+    single = spawn("lsp", False, {})
+
+    outs = []
+    for p in workers + [single]:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        outs.append(out)
+
+    l0, e0 = _parse(outs[0])
+    l1, e1 = _parse(outs[1])
+    ls, es = _parse(outs[2])
+    assert l0 and ls and e0 and es
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(e0, e1, rtol=1e-6)
+    np.testing.assert_allclose(l0, ls, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(e0, es, rtol=1e-5, atol=1e-6)
