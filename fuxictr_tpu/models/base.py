@@ -647,6 +647,10 @@ class RankModel:
         batches_done = 0
         for cache, order_dev, num_batches, _base in loader.epoch_chunks():
             done = 0
+            skip = int(getattr(self, "_resume_skip_batches", 0) or 0)
+            if skip:        # resume alignment: already-trained batches
+                done = min(skip, num_batches)
+                self._resume_skip_batches = skip - done
             while done < num_batches and not self._stop_training:
                 to_boundary = self._eval_steps - (
                     self._total_steps % self._eval_steps)
@@ -1061,6 +1065,28 @@ class RankModel:
         self._total_steps = int(getattr(self, "_resume_step", 0) or 0)
         self._batch_index = 0
         self._epoch_index = 0
+        # opt-in mid-epoch data alignment (resume_align_data: true): after
+        # a checkpoint restore, fast-forward the loader's epoch counter to
+        # the crashed epoch and skip its already-trained batches, so the
+        # resumed run consumes the EXACT remaining data stream (epoch
+        # permutations are deterministic in (seed, epoch)). Only applies
+        # right after load_checkpoint (the _just_restored flag) — a plain
+        # consecutive fit() must keep running fresh epochs. Requires the
+        # same loader/batch geometry as the crashed run.
+        self._resume_skip_batches = 0
+        if (self.kwargs.get("resume_align_data")
+                and getattr(self, "_just_restored", False)
+                and self._total_steps and self._steps_per_epoch):
+            self._resume_skip_batches = (self._total_steps
+                                         % self._steps_per_epoch)
+            if hasattr(data_generator, "_epoch"):
+                data_generator._epoch = (self._total_steps
+                                         // self._steps_per_epoch)
+            logging.info(
+                "Resume alignment: epoch %d, skipping %d already-trained "
+                "batches", self._total_steps // self._steps_per_epoch + 1,
+                self._resume_skip_batches)
+        self._just_restored = False
         # per-fit: a None eval_steps means "once per epoch" of THIS
         # generator; don't let a previous fit's epoch length stick
         self._eval_steps = (self._eval_steps_user
@@ -1141,6 +1167,12 @@ class RankModel:
             # (single-device, or GSPMD over the mesh when the cache blocks
             # were replicated onto it)
             return self._train_epoch_device(data_generator, k)
+        skip = int(getattr(self, "_resume_skip_batches", 0) or 0)
+        if skip:            # resume alignment for host-iterated loaders
+            import itertools
+            self._resume_skip_batches = 0
+            data_generator = itertools.islice(iter(data_generator), skip,
+                                              None)
         if k > 1:
             return self._train_epoch_scanned(data_generator, k)
         if self.mesh is None:
@@ -1724,6 +1756,7 @@ class RankModel:
         # host mirror of the restored step: fit() resumes periodic-ckpt
         # numbering from it without a device barrier on the hot path
         self._resume_step = int(jax.device_get(self.state.step))
+        self._just_restored = True      # enables resume_align_data in fit()
 
     def count_parameters(self, count_embedding=True):
         total = 0

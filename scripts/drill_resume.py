@@ -104,6 +104,10 @@ def worker(mode):
         print(f"RESUME_FROM {ck}", flush=True)
         model.init_params()
         model.load_checkpoint(ck, use_orbax=True)
+        # consume the crashed epoch's EXACT remaining data stream
+        # (models/base.py resume_align_data), then no further epochs:
+        # total data seen == the uninterrupted run's
+        model.kwargs["resume_align_data"] = True
         epochs = 1
     else:
         epochs = 2

@@ -169,3 +169,58 @@ def test_seq_slice_gather_parity():
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
     np.testing.assert_allclose(results[0][1], results[1][1],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_resume_align_data_exact_parity(tmp_path):
+    """resume_align_data: a crash-restore mid-epoch-2 consumes the EXACT
+    remaining data stream — with dropout off, the resumed run's final
+    params are bit-identical to the uninterrupted run's."""
+    import os
+
+    import jax
+    import pandas as pd
+
+    from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+    from fuxictr_tpu.models.zoo.ranking import DNN
+
+    fm = make_synthetic_feature_map(num_categorical=3, num_numeric=1,
+                                    vocab_size=32, embedding_dim=4)
+    rng = np.random.default_rng(0)
+    n = 32
+    df = pd.DataFrame({name: (rng.integers(1, 32, n)
+                              if spec["type"] == "categorical"
+                              else rng.normal(size=n).astype(np.float32))
+                       for name, spec in fm.features.items()})
+    df["label"] = rng.integers(0, 2, n).astype(np.float32)
+    pq = tmp_path / "train.parquet"
+    df.to_parquet(pq)
+
+    def build(root, **kw):
+        m = DNN(fm, embedding_dim=4, hidden_units=(8,), batch_norm=False,
+                model_root=str(root), steps_per_call=1, eval_steps=2,
+                periodic_ckpt=1, periodic_ckpt_keep=10,
+                reduce_lr_on_plateau=False, **kw)
+        loader = DeviceCacheDataLoader(fm, str(pq), batch_size=8,
+                                       shuffle=True, seed=7)
+        return m, loader            # 4 steps/epoch, ckpt every 2 steps
+
+    # uninterrupted 2-epoch run; its periodic ckpts double as the
+    # "crashed run's" checkpoints (identical by determinism)
+    a, loader_a = build(tmp_path / "a")
+    a.fit(loader_a, validation_data=loader_a, epochs=2)
+    ref = jax.device_get(a.state.params)
+    ck6 = os.path.join(str(tmp_path / "a"), fm.dataset_id,
+                       a.model_id + "_ckpt", "step_6")
+    assert os.path.isdir(ck6), os.listdir(os.path.dirname(ck6))
+
+    # "crash" at step 6 (mid-epoch-2): restore + aligned resume of the
+    # remaining 2 batches of epoch 2
+    b, loader_b = build(tmp_path / "b", resume_align_data=True)
+    b.init_params()
+    b.load_checkpoint(ck6, use_orbax=True)
+    b.fit(loader_b, validation_data=loader_b, epochs=1)
+    got = jax.device_get(b.state.params)
+
+    for x, y in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(x, y, rtol=0, atol=0)
