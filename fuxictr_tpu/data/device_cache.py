@@ -448,6 +448,10 @@ class DeviceCacheDataLoader:
                 if gid in layout and layout[gid][0] == "int" else None)
         return lab_lo, g_lo
 
+    def eval_label_cols(self, feature_map):
+        """Float-block columns of ALL labels (multitask device eval)."""
+        return [self._layout[lb][1] for lb in feature_map.labels]
+
     def cache_refs(self):
         """The device-resident packed blocks, keyed as batch entries."""
         if self.chunked:

@@ -175,3 +175,56 @@ def test_multitask_mesh_device_eval_matches_host(tmp_path):
     assert called["stream"], "mesh multitask eval should take device path"
     for k in host:
         assert abs(dev[k] - host[k]) < 1e-5, (k, dev[k], host[k])
+
+
+def test_multitask_cached_device_eval_matches_host(tmp_path):
+    """MultiTask + device-cache loader: per-task metrics computed fully on
+    device match the host pass (incl. grouped)."""
+    import pandas as pd
+
+    from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+    from fuxictr_tpu.models import multitask as mt_mod
+    from fuxictr_tpu.models.zoo.multitask_zoo import MMoE
+
+    fm = make_synthetic_feature_map(num_categorical=4, num_numeric=2,
+                                    vocab_size=64, embedding_dim=8)
+    fm.labels = ["click", "conversion"]
+    fm.group_id = "C1"
+    rng = np.random.default_rng(0)
+    n = 512
+    df = pd.DataFrame({name: (rng.integers(1, 64, n)
+                              if spec["type"] == "categorical"
+                              else rng.normal(size=n).astype(np.float32))
+                       for name, spec in fm.features.items()})
+    df["click"] = rng.integers(0, 2, n).astype(np.float32)
+    df["conversion"] = rng.integers(0, 2, n).astype(np.float32)
+    pq = tmp_path / "mtl.parquet"
+    df.to_parquet(pq)
+    loader = DeviceCacheDataLoader(fm, str(pq), batch_size=64,
+                                   shuffle=False)
+    m = MMoE(fm, model_id="MMoE_cachedev", embedding_dim=8, num_tasks=2,
+             task=["binary_classification", "binary_classification"],
+             num_experts=3, expert_hidden_units=(16,),
+             gate_hidden_units=(8,), tower_hidden_units=(8,),
+             model_root=str(tmp_path))
+    m.init_params()
+
+    called = {"dev": 0}
+    orig = mt_mod.MultiTaskModel._device_eval_multitask
+
+    def spy(self, *a, **kw):
+        called["dev"] += 1
+        return orig(self, *a, **kw)
+
+    mt_mod.MultiTaskModel._device_eval_multitask = spy
+    want = ["AUC", "gAUC", "logloss"]
+    try:
+        dev = m.evaluate(loader, metrics=want)
+    finally:
+        mt_mod.MultiTaskModel._device_eval_multitask = orig
+    assert called["dev"] == 1, "cache eval should take the device path"
+
+    m.kwargs["device_metrics"] = False
+    host = m.evaluate(loader, metrics=want)
+    for k in host:
+        assert abs(dev[k] - host[k]) < 1e-6, (k, dev[k], host[k])

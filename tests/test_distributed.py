@@ -314,6 +314,115 @@ LONGCTR_WORKER = textwrap.dedent("""
 """)
 
 
+MTL_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import pandas as pd
+    from fuxictr_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize() == %(multi)s
+    assert jax.device_count() == 8, jax.device_count()
+
+    from fuxictr_tpu.data.device_cache import DeviceCacheDataLoader
+    from fuxictr_tpu.models.zoo.multitask_zoo import MMoE
+    from fuxictr_tpu.parallel import make_mesh
+    from fuxictr_tpu.utils.synthetic import make_synthetic_feature_map
+
+    fm = make_synthetic_feature_map(num_categorical=3, num_numeric=2,
+                                    vocab_size=64, embedding_dim=4)
+    fm.labels = ["click", "conversion"]
+    n = 256
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({name: (rng.integers(1, 64, n)
+                              if spec["type"] == "categorical"
+                              else rng.normal(size=n).astype(np.float32))
+                       for name, spec in fm.features.items()})
+    df["click"] = rng.integers(0, 2, n).astype(np.float32)
+    df["conversion"] = rng.integers(0, 2, n).astype(np.float32)
+    pq = "/tmp/dist_mtl_%(tag)s.parquet"
+    df.to_parquet(pq)
+
+    m = MMoE(fm, model_id="MMoE_dist_%(tag)s", embedding_dim=4,
+             num_tasks=2,
+             task=["binary_classification", "binary_classification"],
+             num_experts=3, expert_hidden_units=(8,),
+             gate_hidden_units=(8,), tower_hidden_units=(8,),
+             steps_per_call=2, model_root="/tmp/dist_mtl_%(tag)s")
+    mesh = make_mesh(n_data=4, n_model=2)
+    m.distribute(mesh)
+    loader = DeviceCacheDataLoader(
+        fm, pq, batch_size=32, shuffle=True, seed=2019, mesh=mesh,
+        device_shuffle=False,
+        host_id=jax.process_index(), num_hosts=jax.process_count())
+
+    losses = []
+    import logging
+    class Grab(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if msg.startswith("Train loss:"):
+                losses.append(float(msg.split()[2]))
+    logging.getLogger().setLevel(logging.INFO)
+    logging.getLogger().addHandler(Grab())
+    m.fit(loader, validation_data=None, epochs=2)
+
+    logs = m.evaluate(loader, metrics=["AUC", "logloss"])
+    print("LOSSES", " ".join("%%.8f" %% l for l in losses))
+    print("EVAL", "%%.8f %%.8f %%.8f" %% (logs["click_AUC"],
+                                          logs["conversion_AUC"],
+                                          logs["logloss"]))
+""")
+
+
+def test_two_process_multitask_cache_matches_single_process():
+    """MMoE through the sharded multi-host cache: per-task device eval and
+    losses match the single-process run exactly."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    def spawn(tag, multi, env_extra):
+        env = dict(os.environ)
+        env.update({
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4"
+            if multi else "--xla_force_host_platform_device_count=8",
+            "PALLAS_AXON_POOL_IPS": "",
+            "JAX_PLATFORMS": "cpu",
+        })
+        env.update(env_extra)
+        return subprocess.Popen(
+            [sys.executable, "-c",
+             MTL_WORKER % {"repo": REPO, "multi": multi, "tag": tag}],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+
+    workers = [
+        spawn(f"mmp{i}", True, {
+            "FUXICTR_COORDINATOR": coord,
+            "FUXICTR_NUM_PROCESSES": "2",
+            "FUXICTR_PROCESS_ID": str(i),
+        }) for i in range(2)]
+    single = spawn("msp", False, {})
+
+    outs = []
+    for p in workers + [single]:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        outs.append(out)
+
+    l0, e0 = _parse(outs[0])
+    l1, e1 = _parse(outs[1])
+    ls, es = _parse(outs[2])
+    assert l0 and ls and e0 and es
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(e0, e1, rtol=1e-6)
+    np.testing.assert_allclose(l0, ls, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(e0, es, rtol=1e-5, atol=1e-6)
+
+
 def test_two_process_longctr_cache_matches_single_process():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
