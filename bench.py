@@ -124,12 +124,44 @@ def main_criteo():
                       "unit": "examples/s", "vs_baseline": 1.0, **result}))
 
 
+def _backend_watchdog():
+    """The remote-TPU tunnel can stall indefinitely at backend init (a
+    multi-hour axon outage was observed round 5). Probe device discovery
+    on a side thread with a deadline so the bench emits a diagnosable
+    JSON line instead of hanging past the driver's patience."""
+    import threading
+
+    deadline = float(os.environ.get("BENCH_BACKEND_DEADLINE", 900))
+    ok = threading.Event()
+
+    def probe():
+        try:
+            import jax
+            jax.devices()
+            ok.set()
+        except Exception:
+            pass                      # main path will surface the error
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(deadline)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "dcnv2_criteo_steady_throughput", "value": 0,
+            "unit": "examples/s", "vs_baseline": 0,
+            "error": f"backend unavailable: jax.devices() did not return "
+                     f"within {deadline:.0f}s (TPU tunnel down?)"}),
+            flush=True)
+        os._exit(3)
+
+
 if __name__ == "__main__":
     import argparse
     _ap = argparse.ArgumentParser()
     _ap.add_argument("--dataset", default=None)
     _ap.add_argument("--synthetic", action="store_true")
     _args, _ = _ap.parse_known_args()
+    _backend_watchdog()
     if _args.dataset == "criteo":
         main_criteo()
     elif _args.synthetic:
