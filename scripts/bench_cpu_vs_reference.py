@@ -64,7 +64,10 @@ def _data_paths():
 
 
 def train_jax():
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # env alone cannot counter the axon sitecustomize (it force-updates
+    # jax_platforms at interpreter start); pin the CPU backend explicitly
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, REPO)
     from fuxictr_tpu.config import set_logger
     from fuxictr_tpu.data import RankDataLoader
