@@ -140,12 +140,15 @@ def _backend_watchdog():
             jax.devices()
             ok.set()
         except Exception:
-            pass                      # main path will surface the error
+            pass            # fast failure: main path re-raises with detail
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(deadline)
-    if not ok.is_set():
+    if not ok.is_set() and t.is_alive():
+        # a genuine hang (thread still blocked in device discovery) — a
+        # fast exception instead falls through so the main path surfaces
+        # the real error
         print(json.dumps({
             "metric": "dcnv2_criteo_steady_throughput", "value": 0,
             "unit": "examples/s", "vs_baseline": 0,

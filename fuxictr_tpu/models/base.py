@@ -888,7 +888,12 @@ class RankModel:
             def scan_body(_, j):
                 idx = start + j * B + jnp.arange(B, dtype=jnp.int32)
                 h = jnp.clip(idx // per, 0, host_valid.shape[0] - 1)
-                valid = (idx % per) < jnp.take(host_valid, h)
+                # the global bound matters: batch tail-padding rows beyond
+                # per*H would otherwise CLIP into the last host's range and
+                # pass its in-host test, silently double-counting the final
+                # row in every metric
+                valid = ((idx < per * host_valid.shape[0])
+                         & ((idx % per) < jnp.take(host_valid, h)))
                 safe = jnp.where(valid, idx, 0)
                 batch = dict(cache)
                 batch[ROWS_KEY] = safe

@@ -185,7 +185,10 @@ class MultiTaskModel(RankModel):
             def scan_body(_, j):
                 idx = start + j * B + jnp.arange(B, dtype=jnp.int32)
                 h = jnp.clip(idx // per, 0, host_valid.shape[0] - 1)
-                valid = (idx % per) < jnp.take(host_valid, h)
+                # global bound first: tail-padding rows beyond per*H must
+                # not clip into the last host's range (see base.py twin)
+                valid = ((idx < per * host_valid.shape[0])
+                         & ((idx % per) < jnp.take(host_valid, h)))
                 safe = jnp.where(valid, idx, 0)
                 batch = dict(cache)
                 batch[ROWS_KEY] = safe

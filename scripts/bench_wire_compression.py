@@ -138,12 +138,10 @@ def main():
         "pct_of_today": round(nibble_cols * 0.5 / (total_today / rows) * 100,
                               2)}
     report["today_bytes_per_row"] = round(total_today / rows, 2)
-    best = min(
-        sum(arr.nbytes / report[dt][k]["ratio"]
-            for dt, arr in narrow.items()
-            for k in [("zstd3_transposed" if f"zstd3_transposed"
-                       in report[dt] else "zstd3")])
-        for _ in [0])
+    best = sum(
+        arr.nbytes / report[dt]["zstd3_transposed" if "zstd3_transposed"
+                                in report[dt] else "zstd3"]["ratio"]
+        for dt, arr in narrow.items())
     report["transport_zstd3_bytes_per_row"] = round(best / rows, 2)
     report["transport_speedup"] = round(total_today / best, 2)
     print(json.dumps(report), flush=True)

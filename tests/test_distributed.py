@@ -147,7 +147,10 @@ CACHE_WORKER = textwrap.dedent("""
     fm = make_synthetic_feature_map(num_categorical=3, num_numeric=2,
                                     vocab_size=64, embedding_dim=4)
     fm.group_id = "C1"
-    n = 512
+    # deliberately NOT a multiple of batch_size=64: the eval kernel's
+    # global row bound must -1 the tail-padding rows (idx 500..511), not
+    # clip them into the last host's range (round-5 review finding)
+    n = 500
     rng = np.random.default_rng(0)
     df = pd.DataFrame({name: (rng.integers(1, 64, n)
                               if spec["type"] == "categorical"
@@ -172,14 +175,14 @@ CACHE_WORKER = textwrap.dedent("""
         # no process stages more than its slice: the global int block is
         # row-sharded, each addressable shard holds n/8 rows
         blk = loader.cache_refs()["__cache_int__"]
-        assert blk.shape[0] == 512
-        # P("data") over n_data=4: each data-shard holds 512/4 = 128 rows
+        assert blk.shape[0] == 500
+        # P("data") over n_data=4: each data-shard holds 500/4 = 125 rows
         # (replicated across the model axis); a process never sees rows
         # outside its own half
         for s in blk.addressable_shards:
-            assert s.data.shape[0] == 128, s.data.shape
+            assert s.data.shape[0] == 125, s.data.shape
         rows_here = {int(s.index[0].start) for s in blk.addressable_shards}
-        expect = {0, 128} if jax.process_index() == 0 else {256, 384}
+        expect = {0, 125} if jax.process_index() == 0 else {250, 375}
         assert rows_here == expect, rows_here
 
     losses = []
@@ -197,7 +200,26 @@ CACHE_WORKER = textwrap.dedent("""
     print("LOSSES", " ".join("%%.8f" %% l for l in losses))
     print("EVAL", "%%.8f %%.8f %%.8f" %% (logs["AUC"], logs["logloss"],
                                           logs["gAUC"]))
+
+    # odd-split eval: 489 rows over 2 hosts forces BOTH padding flavors
+    # (per-host tail rows on host 1 and global batch tail 492..511); the
+    # device metrics must still equal the single-process value exactly
+    pq2 = "/tmp/dist_cache2_%(tag)s.parquet"
+    df.head(489).to_parquet(pq2)
+    loader2 = DeviceCacheDataLoader(
+        fm, pq2, batch_size=64, shuffle=False, mesh=mesh,
+        host_id=jax.process_index(), num_hosts=jax.process_count())
+    logs2 = m.evaluate(loader2, metrics=["AUC", "logloss", "gAUC"])
+    print("EVAL2", "%%.8f %%.8f %%.8f" %% (logs2["AUC"], logs2["logloss"],
+                                           logs2["gAUC"]))
 """)
+
+
+def _parse_eval2(out):
+    for line in out.splitlines():
+        if line.startswith("EVAL2"):
+            return [float(x) for x in line.split()[1:]]
+    return None
 
 
 def _run_cache_worker(tag, multi, env_extra):
@@ -244,6 +266,11 @@ def test_two_process_device_cache_matches_single_process():
     # 2-process sharded cache == 1-process replicated cache, step for step
     np.testing.assert_allclose(l0, ls, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(e0, es, rtol=1e-5, atol=1e-6)
+    # odd-split eval (per-host AND global padding active) still exact
+    x0, x1, xs = (_parse_eval2(o) for o in outs)
+    assert x0 and xs
+    np.testing.assert_allclose(x0, x1, rtol=1e-6)
+    np.testing.assert_allclose(x0, xs, rtol=1e-5, atol=1e-6)
 
 
 # ----------------------------------------------- LongCTR cache x 2-proc
