@@ -867,16 +867,19 @@ class RankModel:
                 if gid in layout and layout[gid][0] == "int" else None)
         return lab_lo, g_lo
 
-    def _make_cached_eval(self, batch_size, lab_lo, g_lo):
+    def _make_cached_eval(self, batch_size, lab_cols, g_lo):
         """Like :meth:`_make_cached_predict` but also returns each row's
-        label (sliced from the device cache's float block at ``lab_lo``),
-        group id (int block col ``g_lo``, when the FeatureMap declares
-        one) and validity mask — the building blocks of fully on-device
-        evaluation incl. gAUC."""
+        labels (float-block columns ``lab_cols`` — one per task; rank
+        models pass a single-element tuple), group id (int block col
+        ``g_lo``, when the FeatureMap declares one) and validity mask —
+        the building blocks of fully on-device evaluation incl. gAUC.
+        Predictions come back ``[N, T]`` (the predict body's trailing
+        task axis; T=1 for rank models)."""
         from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
                                                    CACHE_INT_KEY)
         body = self._predict_body()
         B = int(batch_size)
+        lab_cols = jnp.asarray(list(lab_cols), jnp.int32)
 
         @partial(jax.jit, static_argnums=(5,))
         def run(state, cache, host_valid, per, start, chunk):
@@ -898,8 +901,8 @@ class RankModel:
                 batch = dict(cache)
                 batch[ROWS_KEY] = safe
                 batch[SAMPLE_MASK_KEY] = valid.astype(jnp.float32)
-                y = body(state, batch).reshape(-1)
-                lab = cache[CACHE_FLOAT_KEY][safe, lab_lo]
+                y = body(state, batch).reshape(B, -1)         # [B, T]
+                lab = cache[CACHE_FLOAT_KEY][safe][:, lab_cols]
                 grp = (cache[CACHE_INT_KEY][safe, g_lo].astype(jnp.int32)
                        if g_lo is not None
                        else jnp.zeros((B,), jnp.int32))
@@ -907,36 +910,25 @@ class RankModel:
 
             _, (ys, labs, grps, valids) = jax.lax.scan(scan_body, None,
                                                        jnp.arange(chunk))
-            return (ys.reshape(-1), labs.reshape(-1), grps.reshape(-1),
-                    valids.reshape(-1))
+            T = ys.shape[-1]
+            return (ys.reshape(-1, T), labs.reshape(-1, T),
+                    grps.reshape(-1), valids.reshape(-1))
 
         return run
 
-    def _device_eval(self, loader, metrics, chunk_size=32):
-        """Evaluate a device-cached split WITHOUT downloading predictions:
-        the forward passes, the exact tie-averaged AUC rank statistics,
-        the logloss sum, and (when a group_id is declared) the exact
-        grouped gAUC/avgAUC all run on the accelerator; only a few scalars
-        cross the wire (metrics.py:device_metric_components /
-        device_grouped_components — sklearn-exact, SURVEY §7.1).
-
-        Raises OverflowError when a group exceeds the int32-exact bound;
-        evaluate() falls back to the host pass."""
-        from fuxictr_tpu.metrics import (device_grouped_components,
-                                         device_metric_components,
-                                         finish_device_grouped,
-                                         finish_device_metrics)
+    def _cached_eval_arrays(self, loader, lab_cols, g_lo, chunk_size=32):
+        """Shared chunk loop over ``loader.eval_chunks()``: returns the
+        accumulated ([N, T] predictions, [N, T] labels, [N] groups,
+        [N] validity) device arrays for metric-component programs —
+        single- and multi-host, single- and multi-task."""
         if not isinstance(self._jit_cached_eval, dict):
             self._jit_cached_eval = {}
         B = loader.batch_size
-        lab_lo, g_lo = self._cache_eval_slots(loader)
-        key = (B, lab_lo, g_lo)
+        key = (B, tuple(lab_cols), g_lo)
         if key not in self._jit_cached_eval:
             self._jit_cached_eval[key] = timed_first_dispatch(
-                self._make_cached_eval(B, lab_lo, g_lo), "cached_eval")
+                self._make_cached_eval(B, lab_cols, g_lo), "cached_eval")
         eval_fn = self._jit_cached_eval[key]
-        if self._jit_metric_components is None:
-            self._jit_metric_components = jax.jit(device_metric_components)
         multihost = getattr(loader, "_multihost", False)
         ys, labs, grps, valids = [], [], [], []
         for cache, num_batches, n_valid, _base in loader.eval_chunks():
@@ -957,9 +949,29 @@ class RankModel:
                 grps.append(grp)
                 valids.append(valid)
                 done += chunk
-        y = jnp.concatenate(ys)
-        lab = jnp.concatenate(labs)
-        valid = jnp.concatenate(valids)
+        return (jnp.concatenate(ys), jnp.concatenate(labs),
+                jnp.concatenate(grps), jnp.concatenate(valids))
+
+    def _device_eval(self, loader, metrics, chunk_size=32):
+        """Evaluate a device-cached split WITHOUT downloading predictions:
+        the forward passes, the exact tie-averaged AUC rank statistics,
+        the logloss sum, and (when a group_id is declared) the exact
+        grouped gAUC/avgAUC all run on the accelerator; only a few scalars
+        cross the wire (metrics.py:device_metric_components /
+        device_grouped_components — sklearn-exact, SURVEY §7.1).
+
+        Raises OverflowError when a group exceeds the int32-exact bound;
+        evaluate() falls back to the host pass."""
+        from fuxictr_tpu.metrics import (device_grouped_components,
+                                         device_metric_components,
+                                         finish_device_grouped,
+                                         finish_device_metrics)
+        lab_lo, g_lo = self._cache_eval_slots(loader)
+        if self._jit_metric_components is None:
+            self._jit_metric_components = jax.jit(device_metric_components)
+        y, lab, g, valid = self._cached_eval_arrays(
+            loader, (lab_lo,), g_lo, chunk_size)
+        y, lab = y[:, 0], lab[:, 0]
         out = {}
         scalar = [m for m in metrics
                   if m in ("AUC", "logloss", "binary_crossentropy")]
@@ -973,13 +985,11 @@ class RankModel:
             if getattr(self, "_jit_grouped_components", None) is None:
                 self._jit_grouped_components = jax.jit(
                     device_grouped_components)
-            gcomps = self._jit_grouped_components(
-                y, lab, jnp.concatenate(grps), valid)
+            gcomps = self._jit_grouped_components(y, lab, g, valid)
             out.update(finish_device_grouped(
                 jax.device_get(gcomps), grouped))   # may raise Overflow
         if ranked:
-            out.update(self._device_ranked(
-                y, lab, jnp.concatenate(grps), valid, ranked))
+            out.update(self._device_ranked(y, lab, g, valid, ranked))
         return {m: out[m] for m in metrics}
 
     def _device_ranked(self, y, lab, g, valid, ranked):

@@ -167,101 +167,37 @@ class MultiTaskModel(RankModel):
         group_id = np.concatenate(groups) if groups else None
         return self._per_task_metrics(y_true, y_pred, group_id, metrics)
 
-    def _make_cached_eval_multitask(self, batch_size, lab_cols, g_lo):
-        """Multitask twin of RankModel._make_cached_eval: the scanned
-        program returns [*, T] predictions (all task heads in one forward)
-        and the float-block label MATRIX, with the same per-host-padded
-        validity test as the base kernel."""
-        from fuxictr_tpu.data.device_cache import (CACHE_FLOAT_KEY,
-                                                   CACHE_INT_KEY)
-        from functools import partial
-
-        body = self._predict_body()
-        B = int(batch_size)
-        lab_cols = jnp.asarray(list(lab_cols), jnp.int32)
-
-        @partial(jax.jit, static_argnums=(5,))
-        def run(state, cache, host_valid, per, start, chunk):
-            def scan_body(_, j):
-                idx = start + j * B + jnp.arange(B, dtype=jnp.int32)
-                h = jnp.clip(idx // per, 0, host_valid.shape[0] - 1)
-                # global bound first: tail-padding rows beyond per*H must
-                # not clip into the last host's range (see base.py twin)
-                valid = ((idx < per * host_valid.shape[0])
-                         & ((idx % per) < jnp.take(host_valid, h)))
-                safe = jnp.where(valid, idx, 0)
-                batch = dict(cache)
-                batch[ROWS_KEY] = safe
-                batch[SAMPLE_MASK_KEY] = valid.astype(jnp.float32)
-                y = body(state, batch)                       # [B, T]
-                lab = cache[CACHE_FLOAT_KEY][safe][:, lab_cols]
-                grp = (cache[CACHE_INT_KEY][safe, g_lo].astype(jnp.int32)
-                       if g_lo is not None
-                       else jnp.zeros((B,), jnp.int32))
-                return None, (y, lab, grp, valid)
-
-            _, (ys, labs, grps, valids) = jax.lax.scan(scan_body, None,
-                                                       jnp.arange(chunk))
-            T = ys.shape[-1]
-            return (ys.reshape(-1, T), labs.reshape(-1, T),
-                    grps.reshape(-1), valids.reshape(-1))
-
-        return run
-
     def _device_eval_multitask(self, loader, want, chunk_size=32):
         """Per-task fully on-device evaluation of a device-cached split
-        (single-host or multi-host mesh): only metric scalars leave the
-        accelerator. Raises OverflowError past the int32-exact gAUC
-        bound (single-host callers fall back to the host pass)."""
+        (single-host or multi-host mesh): the shared cached-eval kernel
+        (RankModel._cached_eval_arrays; the multitask predict body's
+        trailing axis makes it [N, T]) feeds the shared per-task
+        combiner. Only metric scalars leave the accelerator. Raises
+        OverflowError past the int32-exact gAUC bound (single-host
+        callers fall back to the host pass)."""
+        lab_cols = loader.eval_label_cols(self.feature_map)
+        _, g_lo = self._cache_eval_slots(loader)
+        y, lab, g, valid = self._cached_eval_arrays(
+            loader, tuple(lab_cols), g_lo, chunk_size)
+        return self._per_task_device_metrics(y, lab, g, valid, want)
+
+    def _per_task_device_metrics(self, y, lab, g, valid, want):
+        """Per-task device metric combination over [N, T] global
+        prediction/label arrays — shared by the cached and streaming
+        multitask device eval paths. Grouped overflows propagate
+        (OverflowError) for the caller to handle."""
         from fuxictr_tpu.metrics import (device_grouped_components,
                                          device_metric_components,
                                          finish_device_grouped,
                                          finish_device_metrics)
-        labels = self.feature_map.labels
-        gid = self.feature_map.group_id
         grouped = [m for m in want if m in ("gAUC", "avgAUC")]
         ranked = [m for m in want if m == "MRR" or m.startswith("NDCG")]
         scalar = [m for m in want
                   if m in ("AUC", "logloss", "binary_crossentropy")]
-        lab_cols = loader.eval_label_cols(self.feature_map)
-        _, g_lo = self._cache_eval_slots(loader)
-        B = loader.batch_size
-        cache_key = (B, tuple(lab_cols), g_lo)
-        jits = getattr(self, "_jit_cached_eval_mt", None)
-        if jits is None:
-            jits = self._jit_cached_eval_mt = {}
-        if cache_key not in jits:
-            jits[cache_key] = self._make_cached_eval_multitask(
-                B, lab_cols, g_lo)
-        eval_fn = jits[cache_key]
-        multihost = getattr(loader, "_multihost", False)
-        ys, labs, grps, valids = [], [], [], []
-        for cache, num_batches, n_valid, _base in loader.eval_chunks():
-            if multihost:
-                host_valid = jnp.asarray(loader._host_valid, jnp.int32)
-                per = jnp.asarray(loader._per_host_rows, jnp.int32)
-            else:
-                host_valid = jnp.asarray([n_valid], jnp.int32)
-                per = jnp.asarray(num_batches * B, jnp.int32)
-            done = 0
-            while done < num_batches:
-                chunk = int(min(chunk_size, num_batches - done))
-                y, lab, grp, valid = eval_fn(
-                    self.state, cache, host_valid, per,
-                    jnp.asarray(done * B, jnp.int32), chunk)
-                ys.append(y)
-                labs.append(lab)
-                grps.append(grp)
-                valids.append(valid)
-                done += chunk
-        y = jnp.concatenate(ys)
-        lab = jnp.concatenate(labs)
-        valid = jnp.concatenate(valids)
-        g = jnp.concatenate(grps)
         if self._jit_metric_components is None:
             self._jit_metric_components = jax.jit(device_metric_components)
         all_logs, mean_logs = {}, {}
-        for i, label in enumerate(labels):
+        for i, label in enumerate(self.feature_map.labels):
             logs = {}
             if scalar:
                 comps = self._jit_metric_components(
@@ -340,43 +276,13 @@ class MultiTaskModel(RankModel):
             logging.info("device multitask metrics: %d rows exceed the "
                          "int32-exact bound; combining on host", y.shape[0])
             return host_combine()
-        if self._jit_metric_components is None:
-            self._jit_metric_components = jax.jit(device_metric_components)
-        all_logs, mean_logs = {}, {}
-        for i, label in enumerate(labels):
-            logs = {}
-            if scalar:
-                comps = self._jit_metric_components(
-                    y[:, i], lab[:, i], valid)
-                logs.update(finish_device_metrics(
-                    jax.device_get(comps), scalar))
-            if grouped:
-                if getattr(self, "_jit_grouped_components", None) is None:
-                    self._jit_grouped_components = jax.jit(
-                        device_grouped_components)
-                gcomps = self._jit_grouped_components(
-                    y[:, i], lab[:, i], g, valid)
-                try:
-                    logs.update(finish_device_grouped(
-                        jax.device_get(gcomps), grouped))
-                except OverflowError as exc:
-                    logging.info("device multitask gAUC: %s; combining on "
-                                 "host", exc)
-                    return host_combine()
-            if ranked:
-                logs.update(self._device_ranked(
-                    y[:, i], lab[:, i], g, valid, ranked))
-            logs = {m: logs[m] for m in want}
-            logging.info(f"[Task: {label}][Metrics] " + " - ".join(
-                f"{k}: {v:.6f}" for k, v in logs.items()))
-            for k, v in logs.items():
-                all_logs[f"{label}_{k}"] = v
-                mean_logs.setdefault(k, []).append(v)
-        for k, vs in mean_logs.items():
-            all_logs[k] = float(np.mean(vs))
-        logging.info("[Metrics] " + " - ".join(
-            f"{k}: {np.mean(v):.6f}" for k, v in mean_logs.items()))
-        return all_logs
+        gz = g if g is not None else jnp.zeros(y.shape[0], jnp.int32)
+        try:
+            return self._per_task_device_metrics(y, lab, gz, valid, want)
+        except OverflowError as exc:
+            logging.info("device multitask gAUC: %s; combining on host",
+                         exc)
+            return host_combine()
 
     def _per_task_metrics(self, y_true, y_pred, group_id, metrics=None):
         all_logs = {}
