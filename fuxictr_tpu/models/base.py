@@ -1522,12 +1522,15 @@ class RankModel:
                 raise NotImplementedError(
                     "grouped metrics need the group_id at a named int-block "
                     "slot in this loader's packed layout")
-            if (int(getattr(data_generator, "num_samples", 0))
+            # fail-closed default: a loader without num_samples raises
+            # rather than risking silent int32 overflow on device
+            if (int(getattr(data_generator, "num_samples",
+                            DEVICE_METRIC_EXACT_ROWS + 1))
                     > DEVICE_METRIC_EXACT_ROWS):
                 raise NotImplementedError(
-                    "dataset exceeds the int32-exact device-metric bound; "
-                    "use the streaming loader for multi-host eval at this "
-                    "scale")
+                    "dataset exceeds (or does not declare) the int32-exact "
+                    "device-metric bound; use the streaming loader for "
+                    "multi-host eval at this scale")
             val_logs = self._device_eval(data_generator, want)
             logging.info("[Metrics] " + " - ".join(
                 f"{k}: {v:.6f}" for k, v in val_logs.items()))
